@@ -1,0 +1,153 @@
+"""Default configuration tree.
+
+Mirrors the reference defaults schema (reference:
+``segmentron/config/settings.py::cfg``) so the reference's YAML files in
+``configs/`` load unchanged, while adding a TPU block for mesh / precision
+/ pipeline knobs that have no CUDA analogue.
+"""
+
+import time
+
+from .config import SegmentronConfig
+
+cfg = SegmentronConfig()
+
+# ---------------------------------------------------------------- global
+cfg.SEED = 1024
+cfg.TIME_STAMP = time.strftime("%Y-%m-%d-%H-%M", time.localtime())
+cfg.ROOT_PATH = ""
+cfg.PHASE = "train"  # train | test | visual
+
+# ---------------------------------------------------------------- dataset
+cfg.DATASET = SegmentronConfig()
+cfg.DATASET.NAME = ""
+cfg.DATASET.MEAN = [0.485, 0.456, 0.406]
+cfg.DATASET.STD = [0.229, 0.224, 0.225]
+cfg.DATASET.IGNORE_INDEX = -1
+cfg.DATASET.WORKERS = 4
+cfg.DATASET.MODE = "testval"  # val-time transform mode: val | testval
+
+# ---------------------------------------------------------------- train
+cfg.TRAIN = SegmentronConfig()
+cfg.TRAIN.EPOCHS = 30
+cfg.TRAIN.BATCH_SIZE = 1
+cfg.TRAIN.CROP_SIZE = 769
+cfg.TRAIN.BASE_SIZE = 1024
+cfg.TRAIN.MODEL_SAVE_DIR = "runs/checkpoints/"
+cfg.TRAIN.LOG_SAVE_DIR = "runs/logs/"
+cfg.TRAIN.PRETRAINED_MODEL_PATH = ""
+cfg.TRAIN.BACKBONE_PRETRAINED = True
+cfg.TRAIN.BACKBONE_PRETRAINED_PATH = ""
+cfg.TRAIN.RESUME_MODEL_PATH = ""
+cfg.TRAIN.SYNC_BATCH_NORM = True
+cfg.TRAIN.SNAPSHOT_EPOCH = 1
+# reference: TRAIN.APEX (CUDA fp16). On TPU the analogue is bf16 compute —
+# kept as a distinct knob; APEX is accepted-but-ignored for YAML compat.
+cfg.TRAIN.APEX = False
+
+# ---------------------------------------------------------------- solver
+cfg.SOLVER = SegmentronConfig()
+cfg.SOLVER.LR = 1e-4
+cfg.SOLVER.OPTIMIZER = "sgd"  # sgd | adam | adamw
+cfg.SOLVER.EPSILON = 1e-8
+cfg.SOLVER.MOMENTUM = 0.9
+cfg.SOLVER.WEIGHT_DECAY = 1e-4
+cfg.SOLVER.DECODER_LR_FACTOR = 10.0
+cfg.SOLVER.LR_SCHEDULER = "poly"  # poly | cosine | step
+cfg.SOLVER.POLY = SegmentronConfig()
+cfg.SOLVER.POLY.POWER = 0.9
+cfg.SOLVER.STEP = SegmentronConfig()
+cfg.SOLVER.STEP.GAMMA = 0.1
+cfg.SOLVER.STEP.DECAY_EPOCH = [10, 20]
+cfg.SOLVER.WARMUP = SegmentronConfig()
+cfg.SOLVER.WARMUP.EPOCHS = 0.0
+cfg.SOLVER.WARMUP.FACTOR = 1.0 / 3
+cfg.SOLVER.WARMUP.METHOD = "linear"  # linear | constant
+cfg.SOLVER.OHEM = False
+cfg.SOLVER.OHEM_THRESH = 0.7
+cfg.SOLVER.OHEM_MIN_KEPT = 100000
+cfg.SOLVER.AUX = False
+cfg.SOLVER.AUX_WEIGHT = 0.4
+cfg.SOLVER.LOSS_NAME = ""  # '' -> CE; focal | lovasz | dice | binary_dice
+
+# ---------------------------------------------------------------- test
+cfg.TEST = SegmentronConfig()
+cfg.TEST.TEST_MODEL_PATH = ""
+cfg.TEST.BATCH_SIZE = 1
+cfg.TEST.CROP_SIZE = None  # sliding-window window size; None = whole image
+cfg.TEST.SCALES = [1.0]  # multi-scale TTA factors
+cfg.TEST.FLIP = False  # horizontal-flip TTA
+
+# ---------------------------------------------------------------- visual
+cfg.VISUAL = SegmentronConfig()
+cfg.VISUAL.OUTPUT_DIR = "runs/visual/"
+
+# ---------------------------------------------------------------- model
+cfg.MODEL = SegmentronConfig()
+cfg.MODEL.MODEL_NAME = ""
+cfg.MODEL.BACKBONE = ""
+cfg.MODEL.BACKBONE_SCALE = 1.0
+cfg.MODEL.MULTI_LOSS_WEIGHT = [1.0]
+cfg.MODEL.DEFAULT_GROUP_NUMBER = 32
+cfg.MODEL.DEFAULT_EPSILON = 1e-5
+cfg.MODEL.BN_TYPE = "BN"  # BN | SyncBN | FrozenBN | GN
+cfg.MODEL.BN_EPS_FOR_ENCODER = None
+cfg.MODEL.BN_EPS_FOR_DECODER = None
+cfg.MODEL.OUTPUT_STRIDE = 16
+cfg.MODEL.BN_MOMENTUM = None  # torch-convention momentum (1 - decay)
+
+# per-model sub-trees -----------------------------------------------------
+cfg.MODEL.DANET = SegmentronConfig()
+cfg.MODEL.DANET.MULTI_DILATION = None
+cfg.MODEL.DANET.MULTI_GRID = False
+
+cfg.MODEL.DEEPLABV3_PLUS = SegmentronConfig()
+cfg.MODEL.DEEPLABV3_PLUS.USE_ASPP = True
+cfg.MODEL.DEEPLABV3_PLUS.ENABLE_DECODER = True
+cfg.MODEL.DEEPLABV3_PLUS.ASPP_WITH_SEP_CONV = True
+cfg.MODEL.DEEPLABV3_PLUS.DECODER_USE_SEP_CONV = True
+
+cfg.MODEL.OCNet = SegmentronConfig()
+cfg.MODEL.OCNet.OC_ARCH = "base"  # base | pyramid | asp
+
+cfg.MODEL.ENCNET = SegmentronConfig()
+cfg.MODEL.ENCNET.SE_LOSS = True
+cfg.MODEL.ENCNET.SE_WEIGHT = 0.2
+cfg.MODEL.ENCNET.LATERAL = True
+
+cfg.MODEL.CCNET = SegmentronConfig()
+cfg.MODEL.CCNET.RECURRENCE = 2
+
+cfg.MODEL.CGNET = SegmentronConfig()
+cfg.MODEL.CGNET.STAGE2_BLOCK_NUM = 3
+cfg.MODEL.CGNET.STAGE3_BLOCK_NUM = 21
+
+cfg.MODEL.POINTREND = SegmentronConfig()
+cfg.MODEL.POINTREND.BASEMODEL = "DeepLabV3_Plus"
+
+cfg.MODEL.HRNET = SegmentronConfig()
+cfg.MODEL.HRNET.PRETRAINED_LAYERS = ["*"]
+cfg.MODEL.HRNET.STEM_INPLANES = 64
+cfg.MODEL.HRNET.FINAL_CONV_KERNEL = 1
+cfg.MODEL.HRNET.WITH_HEAD = True
+# OCR head (HRNet-W48 + OCR benchmark config)
+cfg.MODEL.HRNET.OCR = SegmentronConfig()
+cfg.MODEL.HRNET.OCR.ENABLE = False
+cfg.MODEL.HRNET.OCR.MID_CHANNELS = 512
+cfg.MODEL.HRNET.OCR.KEY_CHANNELS = 256
+
+# ---------------------------------------------------------------- tpu (new)
+# No analogue in the reference: mesh/precision/pipeline knobs for TPU.
+cfg.TPU = SegmentronConfig()
+cfg.TPU.MESH_SHAPE = []  # [] -> 1-D data mesh over all devices
+cfg.TPU.MESH_AXES = ["data"]
+cfg.TPU.COMPUTE_DTYPE = "float32"  # float32 | bfloat16
+cfg.TPU.PARAM_DTYPE = "float32"
+cfg.TPU.REMAT = False  # jax.checkpoint on backbone stages
+cfg.TPU.PREFETCH = 2  # host->device pipeline depth
+cfg.TPU.USE_PALLAS = True  # fused Pallas kernels where available
+cfg.TPU.DONATE = True  # donate train-state buffers into the step
+
+# ---------------------------------------------------------------- utils
+cfg.UTILS = SegmentronConfig()
+cfg.UTILS.EPOCH_STOP = -1  # early stop for smoke runs; -1 disables

@@ -1,0 +1,54 @@
+"""Run setup (reference: ``segmentron/utils/default_setup.py::default_setup``).
+
+Creates timestamped run dirs, configures the rank-0 logger, seeds RNGs,
+dumps environment info and the resolved config into the run dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import cfg
+from .distributed import get_rank
+from .env import collect_env_info, seed_all_rng
+from .filesystem import makedirs
+from .logger import setup_logger
+
+__all__ = ["default_setup"]
+
+
+def default_setup(args=None):
+    run_name = "_".join(
+        x
+        for x in (
+            cfg.MODEL.MODEL_NAME.lower(),
+            cfg.MODEL.BACKBONE.lower(),
+            cfg.DATASET.NAME.lower(),
+            cfg.TIME_STAMP,
+        )
+        if x
+    )
+    save_dir = os.path.join(cfg.ROOT_PATH or ".", cfg.TRAIN.MODEL_SAVE_DIR, run_name)
+    log_dir = os.path.join(cfg.ROOT_PATH or ".", cfg.TRAIN.LOG_SAVE_DIR, run_name)
+    if get_rank() == 0:
+        makedirs(save_dir)
+        makedirs(log_dir)
+    cfg.defrost()
+    cfg.TRAIN.MODEL_SAVE_DIR = save_dir
+    cfg.TRAIN.LOG_SAVE_DIR = log_dir
+    cfg.freeze()
+
+    logger = setup_logger(
+        save_dir=log_dir if get_rank() == 0 else None,
+        distributed_rank=get_rank(),
+        filename=f"{run_name}.txt",
+    )
+    logger.info("Environment info:\n%s", collect_env_info())
+    if args is not None:
+        logger.info("Command line args: %s", args)
+    logger.info("Running with config:\n%s", cfg.dump())
+    if get_rank() == 0:
+        with open(os.path.join(save_dir, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+    rng_key = seed_all_rng(cfg.SEED)
+    return rng_key

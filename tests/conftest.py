@@ -1,0 +1,37 @@
+"""Test config: force an 8-device virtual CPU mesh.
+
+All tests run on CPU with XLA's host-platform device splitting so that
+multi-chip sharding (psum-BN, sharded metrics, data-parallel grad psum)
+is exercised without TPU hardware — SURVEY.md §4 strategy #3.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture()
+def fresh_cfg():
+    """A defrosted deep copy of the default config, restored afterwards."""
+    from segmentron_tpu.config import cfg
+
+    snapshot = cfg.to_dict()
+    cfg.defrost()
+    yield cfg
+    cfg.defrost()
+    cfg.clear()
+    for k, v in type(cfg)(snapshot).items():
+        dict.__setitem__(cfg, k, v)

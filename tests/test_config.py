@@ -1,0 +1,66 @@
+import pytest
+
+from segmentron_tpu.config import SegmentronConfig, cfg
+
+
+def test_attribute_access():
+    c = SegmentronConfig({"A": {"B": 1}, "C": "x"})
+    assert c.A.B == 1
+    assert c.C == "x"
+    c.A.B = 2
+    assert c["A"]["B"] == 2
+
+
+def test_merge_unknown_key_raises():
+    c = SegmentronConfig({"A": 1})
+    with pytest.raises(KeyError):
+        c._merge({"ZZZ": 2})
+
+
+def test_update_from_list_and_coercion(fresh_cfg):
+    fresh_cfg.update_from_list(["SOLVER.LR", "0.02", "TRAIN.EPOCHS", "50"])
+    assert fresh_cfg.SOLVER.LR == 0.02
+    assert isinstance(fresh_cfg.SOLVER.LR, float)
+    assert fresh_cfg.TRAIN.EPOCHS == 50
+    fresh_cfg.update_from_list(["TRAIN.SYNC_BATCH_NORM", "False"])
+    assert fresh_cfg.TRAIN.SYNC_BATCH_NORM is False
+
+
+def test_update_from_file(tmp_path, fresh_cfg):
+    yaml_text = """
+DATASET:
+  NAME: cityscapes
+MODEL:
+  MODEL_NAME: DeepLabV3_Plus
+  BACKBONE: xception65
+SOLVER:
+  LR: 0.01
+TEST:
+  SCALES: [0.75, 1.0, 1.25]
+"""
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml_text)
+    fresh_cfg.update_from_file(str(p))
+    assert fresh_cfg.DATASET.NAME == "cityscapes"
+    assert fresh_cfg.MODEL.MODEL_NAME == "DeepLabV3_Plus"
+    assert fresh_cfg.SOLVER.LR == 0.01
+    assert list(fresh_cfg.TEST.SCALES) == [0.75, 1.0, 1.25]
+
+
+def test_freeze(fresh_cfg):
+    fresh_cfg.freeze()
+    with pytest.raises(AttributeError):
+        fresh_cfg.SEED = 7
+    with pytest.raises(AttributeError):
+        fresh_cfg.MODEL.BACKBONE = "x"
+    fresh_cfg.defrost()
+    fresh_cfg.SEED = 7
+    assert fresh_cfg.SEED == 7
+
+
+def test_dump_roundtrip():
+    c = SegmentronConfig({"A": {"B": [1, 2]}, "C": 1.5})
+    import yaml
+
+    loaded = yaml.safe_load(c.dump())
+    assert loaded == {"A": {"B": [1, 2]}, "C": 1.5}
