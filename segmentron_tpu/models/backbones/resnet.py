@@ -1,0 +1,187 @@
+"""Dilated ResNet backbones (reference: ``segmentron/models/backbones/resnet.py``).
+
+ResNet-V1 with segmentation-style dilation surgery: ``output_stride=8``
+turns the layer3/layer4 strides into dilations (2 then 4);
+``output_stride=16`` dilates only layer4. Optional DeepLab multi-grid
+in layer4 and a ResNet-C deep stem (three 3x3s replacing the 7x7).
+
+TPU design notes: NHWC layout, static Python structure (everything is
+unrolled at trace time — no dynamic control flow), returns the
+(c1, c2, c3, c4) feature pyramid exactly like the reference so heads
+are interchangeable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...modules.basic import ConvBNReLU, conv2d
+from ...modules.batch_norm import NormConfig
+from .build import BACKBONE_REGISTRY
+
+__all__ = ["ResNet"]
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    previous_dilation: int = 1
+    use_downsample: bool = False
+    norm: NormConfig = NormConfig()
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = conv2d(self.features, 3, self.stride, None, self.dilation, name="conv1")(x)
+        y = self.norm.make("bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv2d(self.features, 3, 1, None, self.previous_dilation, name="conv2")(y)
+        y = self.norm.make("bn2")(y, use_running_average=not train)
+        if self.use_downsample:
+            identity = conv2d(self.features, 1, self.stride, 0, name="downsample_conv")(
+                x
+            )
+            identity = self.norm.make("downsample_bn")(
+                identity, use_running_average=not train
+            )
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    previous_dilation: int = 1
+    use_downsample: bool = False
+    norm: NormConfig = NormConfig()
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = conv2d(self.features, 1, 1, 0, name="conv1")(x)
+        y = self.norm.make("bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv2d(self.features, 3, self.stride, None, self.dilation, name="conv2")(y)
+        y = self.norm.make("bn2")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv2d(self.features * 4, 1, 1, 0, name="conv3")(y)
+        y = self.norm.make("bn3")(y, use_running_average=not train)
+        if self.use_downsample:
+            identity = conv2d(
+                self.features * 4, 1, self.stride, 0, name="downsample_conv"
+            )(x)
+            identity = self.norm.make("downsample_bn")(
+                identity, use_running_average=not train
+            )
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    block: type = Bottleneck
+    layers: Sequence[int] = (3, 4, 6, 3)
+    output_stride: int = 16
+    deep_stem: bool = False
+    stem_width: int = 64
+    multi_grid: bool = False
+    multi_dilation: Optional[Sequence[int]] = None
+    norm: NormConfig = NormConfig()
+
+    def _make_layer(
+        self, x, idx: int, features: int, blocks: int, stride: int, dilation: int,
+        train: bool, multi_dilation: Optional[Sequence[int]] = None,
+    ):
+        in_ch = x.shape[-1]
+        out_ch = features * self.block.expansion
+        for b in range(blocks):
+            s = stride if b == 0 else 1
+            if multi_dilation is not None:
+                d = multi_dilation[b % len(multi_dilation)] * max(dilation // 2, 1)
+            elif dilation in (1, 2) or b > 0:
+                d = dilation
+            else:
+                # first block of a dilation-4 stage uses rate 2 (reference
+                # "previous dilation" convention for OS8 layer4)
+                d = dilation // 2
+            need_ds = b == 0 and (stride != 1 or in_ch != out_ch)
+            x = self.block(
+                features,
+                stride=s,
+                dilation=d,
+                previous_dilation=dilation,
+                use_downsample=need_ds,
+                norm=self.norm,
+                name=f"layer{idx}_{b}",
+            )(x, train)
+            in_ch = out_ch
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple:
+        if self.deep_stem:
+            x = ConvBNReLU(self.stem_width, 3, 2, norm=self.norm, name="stem1")(
+                x, train
+            )
+            x = ConvBNReLU(self.stem_width, 3, 1, norm=self.norm, name="stem2")(
+                x, train
+            )
+            x = ConvBNReLU(self.stem_width * 2, 3, 1, norm=self.norm, name="stem3")(
+                x, train
+            )
+        else:
+            x = conv2d(64, 7, 2, 3, name="conv1")(x)
+            x = self.norm.make("bn1")(x, use_running_average=not train)
+            x = nn.relu(x)
+        # torch max_pool2d(kernel=3, stride=2, padding=1)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        if self.output_stride == 8:
+            strides, dilations = (1, 2, 1, 1), (1, 1, 2, 4)
+        elif self.output_stride == 16:
+            strides, dilations = (1, 2, 2, 1), (1, 1, 1, 2)
+        else:  # 32: classification layout
+            strides, dilations = (1, 2, 2, 2), (1, 1, 1, 1)
+
+        c1 = self._make_layer(x, 1, 64, self.layers[0], strides[0], dilations[0], train)
+        c2 = self._make_layer(c1, 2, 128, self.layers[1], strides[1], dilations[1], train)
+        c3 = self._make_layer(c2, 3, 256, self.layers[2], strides[2], dilations[2], train)
+        md = self.multi_dilation if self.multi_grid else None
+        c4 = self._make_layer(
+            c3, 4, 512, self.layers[3], strides[3], dilations[3], train,
+            multi_dilation=md,
+        )
+        return c1, c2, c3, c4
+
+
+def _register(name: str, block, layers, **kw):
+    @BACKBONE_REGISTRY.register(name=name)
+    def _ctor(norm: NormConfig, _block=block, _layers=layers, _kw=dict(kw)):
+        from ...config import cfg
+
+        return ResNet(
+            block=_block,
+            layers=_layers,
+            output_stride=int(cfg.MODEL.OUTPUT_STRIDE),
+            multi_grid=bool(cfg.MODEL.DANET.MULTI_GRID),
+            multi_dilation=cfg.MODEL.DANET.MULTI_DILATION,
+            norm=norm,
+            **_kw,
+        )
+
+
+_register("resnet18", BasicBlock, (2, 2, 2, 2))
+_register("resnet34", BasicBlock, (3, 4, 6, 3))
+_register("resnet50", Bottleneck, (3, 4, 6, 3))
+_register("resnet101", Bottleneck, (3, 4, 23, 3))
+_register("resnet152", Bottleneck, (3, 8, 36, 3))
+_register("resnet50c", Bottleneck, (3, 4, 6, 3), deep_stem=True)
+_register("resnet101c", Bottleneck, (3, 4, 23, 3), deep_stem=True)
+_register("resnet152c", Bottleneck, (3, 8, 36, 3), deep_stem=True)

@@ -7,12 +7,20 @@ is exercised without TPU hardware — SURVEY.md §4 strategy #3.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the container's sitecustomize imports jax at interpreter startup
+# (axon TPU plugin), so env vars alone are too late here — use
+# jax.config.update, and set XLA_FLAGS before the first backend init
+# (backends are created lazily, so this still works).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
