@@ -14,7 +14,11 @@ BACKBONE_REGISTRY = Registry("BACKBONE")
 __all__ = ["BACKBONE_REGISTRY", "get_segmentation_backbone"]
 
 
-def get_segmentation_backbone(backbone: str, norm: NormConfig):
-    """Instantiate a registered backbone module by name."""
+def get_segmentation_backbone(backbone: str, norm: NormConfig, name=None):
+    """Instantiate a registered backbone module by name.
+
+    ``name`` fixes the flax param scope (models use "backbone" so the
+    solver can split LR by path prefix).
+    """
     ctor = BACKBONE_REGISTRY.get(backbone)
-    return ctor(norm=norm)
+    return ctor(norm=norm, name=name)

@@ -163,10 +163,11 @@ class ResNet(nn.Module):
 
 def _register(name: str, block, layers, **kw):
     @BACKBONE_REGISTRY.register(name=name)
-    def _ctor(norm: NormConfig, _block=block, _layers=layers, _kw=dict(kw)):
+    def _ctor(norm: NormConfig, name=None, _block=block, _layers=layers, _kw=dict(kw)):
         from ...config import cfg
 
         return ResNet(
+            name=name,
             block=_block,
             layers=_layers,
             output_stride=int(cfg.MODEL.OUTPUT_STRIDE),
