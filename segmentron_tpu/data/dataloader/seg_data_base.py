@@ -1,0 +1,164 @@
+"""Dataset base with joint image/mask transforms
+(reference: ``segmentron/data/dataloader/seg_data_base.py::SegmentationDataset``).
+
+Transform pipeline (host-side numpy/PIL, feeding static-shape device
+batches):
+
+- ``train``  : random hflip -> random scale (0.5..2.0 x BASE_SIZE, short
+  side) -> pad to CROP_SIZE (image 0-pad, mask ignore-pad) -> random
+  crop CROP_SIZE -> optional gaussian blur -> normalize. Output shapes
+  are ALWAYS (CROP_SIZE, CROP_SIZE) — static for XLA.
+- ``val``    : resize short side to CROP_SIZE -> center crop.
+- ``testval``: whole image + mask untouched (sliding-window eval path).
+- ``test``   : image only.
+
+Masks are int32 class indices with ignore pixels mapped to -1.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageFilter
+
+from ...config import cfg
+
+__all__ = ["SegmentationDataset"]
+
+
+class SegmentationDataset:
+    NUM_CLASS: int = 0
+    MASK_PAD_FILL: int = 0  # raw-space pad value for train-crop padding
+
+    def __init__(
+        self,
+        root: str,
+        split: str,
+        mode: Optional[str],
+        base_size: Optional[int] = None,
+        crop_size: Optional[int] = None,
+    ):
+        self.root = root
+        self.split = split
+        self.mode = mode if mode is not None else split
+        self.base_size = base_size if base_size is not None else cfg.TRAIN.BASE_SIZE
+        self.crop_size = crop_size if crop_size is not None else cfg.TRAIN.CROP_SIZE
+        self.mean = np.asarray(cfg.DATASET.MEAN, np.float32)
+        self.std = np.asarray(cfg.DATASET.STD, np.float32)
+        self._rng = random.Random(cfg.SEED)
+
+    # ------------------------------------------------------------------ api
+    def __len__(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, index: int):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @property
+    def num_class(self) -> int:
+        return self.NUM_CLASS
+
+    @property
+    def pred_offset(self) -> int:
+        return 0
+
+    # ----------------------------------------------------------- transforms
+    def _img_transform(self, img: Image.Image) -> np.ndarray:
+        """PIL -> normalized float32 HWC."""
+        arr = np.asarray(img, np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        return (arr - self.mean) / self.std
+
+    def _mask_transform(self, mask: Image.Image) -> np.ndarray:
+        return np.asarray(mask, np.int32)
+
+    def _sync_transform(
+        self, img: Image.Image, mask: Image.Image
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        rng = self._rng
+        crop_size = self.crop_size
+        # random mirror
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+        # random scale (short side)
+        short_size = rng.randint(int(self.base_size * 0.5), int(self.base_size * 2.0))
+        w, h = img.size
+        if h > w:
+            ow = short_size
+            oh = int(1.0 * h * ow / w)
+        else:
+            oh = short_size
+            ow = int(1.0 * w * oh / h)
+        img = img.resize((ow, oh), Image.BILINEAR)
+        mask = mask.resize((ow, oh), Image.NEAREST)
+        # pad to crop
+        if short_size < crop_size:
+            padh = crop_size - oh if oh < crop_size else 0
+            padw = crop_size - ow if ow < crop_size else 0
+            img = _pad(img, padw, padh, fill=0)
+            # reference pads the *raw* mask with 0 (pre class-mapping);
+            # datasets whose raw id 0 is "unlabeled" turn it into ignore.
+            mask = _pad(mask, padw, padh, fill=self.MASK_PAD_FILL)
+        # random crop
+        w, h = img.size
+        x1 = rng.randint(0, w - crop_size)
+        y1 = rng.randint(0, h - crop_size)
+        img = img.crop((x1, y1, x1 + crop_size, y1 + crop_size))
+        mask = mask.crop((x1, y1, x1 + crop_size, y1 + crop_size))
+        # gaussian blur
+        if rng.random() < 0.5:
+            img = img.filter(ImageFilter.GaussianBlur(radius=rng.random()))
+        return self._img_transform(img), self._mask_transform(mask)
+
+    def _val_sync_transform(
+        self, img: Image.Image, mask: Image.Image
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        outsize = self.crop_size
+        w, h = img.size
+        if w > h:
+            oh = outsize
+            ow = int(1.0 * w * oh / h)
+        else:
+            ow = outsize
+            oh = int(1.0 * h * ow / w)
+        img = img.resize((ow, oh), Image.BILINEAR)
+        mask = mask.resize((ow, oh), Image.NEAREST)
+        w, h = img.size
+        x1 = int(round((w - outsize) / 2.0))
+        y1 = int(round((h - outsize) / 2.0))
+        img = img.crop((x1, y1, x1 + outsize, y1 + outsize))
+        mask = mask.crop((x1, y1, x1 + outsize, y1 + outsize))
+        return self._img_transform(img), self._mask_transform(mask)
+
+    def _testval_transform(self, img, mask):
+        return self._img_transform(img), self._mask_transform(mask)
+
+    def transform_pair(self, img: Image.Image, mask: Optional[Image.Image]):
+        """Dispatch by mode; returns (image f32 HWC, mask int32 HW|None)."""
+        if self.mode == "train":
+            return self._sync_transform(img, mask)
+        if self.mode == "val":
+            return self._val_sync_transform(img, mask)
+        if self.mode == "testval":
+            return self._testval_transform(img, mask)
+        return self._img_transform(img), None
+
+
+def _pad(img: Image.Image, padw: int, padh: int, fill) -> Image.Image:
+    """Pad right/bottom. PIL has no negative fill for 'L'/'P', so masks
+    (fill=-1) go through numpy int32."""
+    if padw <= 0 and padh <= 0:
+        return img
+    if fill == -1:
+        arr = np.asarray(img, np.int32)
+        arr = np.pad(arr, ((0, max(padh, 0)), (0, max(padw, 0))), constant_values=-1)
+        return Image.fromarray(arr, mode="I")
+    w, h = img.size
+    out = Image.new(img.mode, (w + max(padw, 0), h + max(padh, 0)), fill)
+    out.paste(img, (0, 0))
+    return out

@@ -1,0 +1,99 @@
+"""Host-side batch loader with device prefetch.
+
+TPU replacement for the reference's ``torch.utils.data.DataLoader`` +
+``DistributedSampler`` stack: worker *threads* decode/augment (PIL and
+numpy release the GIL for the heavy parts), batches are stacked into
+static-shape numpy arrays and asynchronously ``device_put`` so the chip
+never waits on the host (double/triple buffering via ``TPU.PREFETCH``).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..utils.distributed import make_data_sampler
+
+__all__ = ["DataLoader"]
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        sharding=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last if drop_last is not None else shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(0, prefetch)
+        self.sharding = sharding
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[dict]:
+        order = make_data_sampler(
+            len(self.dataset), self.shuffle, self.seed, self.epoch
+        )
+        if self.drop_last:
+            order = order[: len(order) - len(order) % self.batch_size]
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, len(order), self.batch_size):
+                idxs = order[start : start + self.batch_size]
+                items = list(pool.map(self.dataset.__getitem__, idxs))
+                images = np.stack([it[0] for it in items]).astype(np.float32)
+                batch = {"image": images}
+                if items[0][1] is not None:
+                    batch["mask"] = np.stack([it[1] for it in items]).astype(np.int32)
+                batch["name"] = [it[2] for it in items]
+                yield batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch == 0:
+            yield from map(self._to_device, self._batches())
+            return
+        queue = collections.deque()
+        it = self._batches()
+        try:
+            for _ in range(self.prefetch):
+                queue.append(self._to_device(next(it)))
+        except StopIteration:
+            pass
+        for batch in it:
+            out = queue.popleft()
+            queue.append(self._to_device(batch))
+            yield out
+        while queue:
+            yield queue.popleft()
+
+    def _to_device(self, batch: dict) -> dict:
+        names = batch.pop("name")
+        if self.sharding is not None:
+            batch = {
+                k: jax.device_put(v, self.sharding) for k, v in batch.items()
+            }
+        else:
+            batch = {k: jax.device_put(v) for k, v in batch.items()}
+        batch["name"] = names
+        return batch
