@@ -1,0 +1,270 @@
+"""Segmentation losses (reference: ``segmentron/solver/loss.py``).
+
+All losses are pure jittable functions over NHWC logits tuples and
+int32 targets with ignore = -1 (or ``cfg.DATASET.IGNORE_INDEX`` mapped
+to -1 by the data layer). Masked means use a count-clamped denominator
+so all-ignore batches don't NaN under jit.
+
+Dispatch mirrors the reference's ``get_segmentation_loss``:
+model-specific losses (ICNet, EncNet) by model name, otherwise
+OHEM / focal / lovasz / dice by config, default Mix CE (+aux).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "cross_entropy",
+    "mix_softmax_ce_loss",
+    "ohem_ce_loss",
+    "focal_loss",
+    "lovasz_softmax_loss",
+    "dice_loss",
+    "encnet_se_loss",
+    "encnet_loss",
+    "icnet_loss",
+    "get_segmentation_loss",
+]
+
+
+def _flatten(logits, target):
+    c = logits.shape[-1]
+    return logits.reshape(-1, c), target.reshape(-1)
+
+
+def cross_entropy(logits, target, weights=None):
+    """Mean CE over valid (target >= 0) pixels."""
+    lf, tf = _flatten(logits, target)
+    valid = tf >= 0
+    t_safe = jnp.where(valid, tf, 0)
+    logp = jax.nn.log_softmax(lf.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+    if weights is not None:
+        nll = nll * weights.reshape(-1)
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def mix_softmax_ce_loss(outputs: Sequence, target, aux_weight: float = 0.4):
+    """Main CE + aux_weight * CE for each aux head
+    (reference ``MixSoftmaxCrossEntropyLoss``)."""
+    loss = cross_entropy(outputs[0], target)
+    for aux in outputs[1:]:
+        loss = loss + aux_weight * cross_entropy(aux, target)
+    return loss
+
+
+def _ohem_single(logits, target, thresh: float, min_kept: int):
+    lf, tf = _flatten(logits, target)
+    valid = tf >= 0
+    t_safe = jnp.where(valid, tf, 0)
+    logp = jax.nn.log_softmax(lf.astype(jnp.float32), axis=-1)
+    p_t = jnp.exp(jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0])
+    p_t = jnp.where(valid, p_t, jnp.inf)  # ignore pixels are never "hard"
+    # adaptive threshold: if fewer than min_kept pixels fall below
+    # `thresh`, raise the cutoff to the min_kept-th smallest prob.
+    k = min(min_kept, p_t.shape[0])
+    if k > 0:
+        kth = -jax.lax.top_k(-p_t, k)[0][-1]
+        cutoff = jnp.maximum(kth, thresh)
+    else:
+        cutoff = jnp.asarray(thresh)
+    keep = valid & (p_t <= cutoff)
+    nll = -jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(keep, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(keep), 1)
+
+
+def ohem_ce_loss(
+    outputs: Sequence,
+    target,
+    aux_weight: float = 0.4,
+    thresh: float = 0.7,
+    min_kept: int = 100_000,
+):
+    """Online hard example mining CE
+    (reference ``MixSoftmaxCrossEntropyOHEMLoss``): keep valid pixels
+    whose true-class prob <= thresh, at least ``min_kept`` hardest.
+    Implemented with an on-device top_k — no host sync (SURVEY.md §7
+    hard-parts list)."""
+    loss = _ohem_single(outputs[0], target, thresh, min_kept)
+    for aux in outputs[1:]:
+        loss = loss + aux_weight * _ohem_single(aux, target, thresh, min_kept)
+    return loss
+
+
+def focal_loss(outputs: Sequence, target, alpha: float = 0.25, gamma: float = 2.0,
+               aux_weight: float = 0.4):
+    def single(logits, tgt):
+        lf, tf = _flatten(logits, tgt)
+        valid = tf >= 0
+        t_safe = jnp.where(valid, tf, 0)
+        logp = jax.nn.log_softmax(lf.astype(jnp.float32), axis=-1)
+        logp_t = jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+        p_t = jnp.exp(logp_t)
+        fl = -alpha * jnp.power(1.0 - p_t, gamma) * logp_t
+        fl = jnp.where(valid, fl, 0.0)
+        return jnp.sum(fl) / jnp.maximum(jnp.sum(valid), 1)
+
+    loss = single(outputs[0], target)
+    for aux in outputs[1:]:
+        loss = loss + aux_weight * single(aux, target)
+    return loss
+
+
+def lovasz_softmax_loss(outputs: Sequence, target, aux_weight: float = 0.4):
+    """Lovasz-softmax (present-classes mean), jit-safe ignore handling:
+    ignored pixels get zero error and sort to the tail."""
+
+    def single(logits, tgt):
+        lf, tf = _flatten(logits, tgt)
+        valid = tf >= 0
+        t_safe = jnp.where(valid, tf, 0)
+        probs = jax.nn.softmax(lf.astype(jnp.float32), axis=-1)
+        c = probs.shape[-1]
+        losses = []
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        for cls in range(c):
+            fg = (t_safe == cls) & valid
+            err = jnp.where(valid, jnp.abs(fg.astype(jnp.float32) - probs[:, cls]), 0.0)
+            order = jnp.argsort(-err)
+            err_s = err[order]
+            fg_s = fg[order].astype(jnp.float32)
+            gts = jnp.sum(fg_s)
+            inter = gts - jnp.cumsum(fg_s)
+            union = gts + jnp.cumsum(1.0 - fg_s) - jnp.sum((1 - valid))
+            union = jnp.maximum(union, 1e-6)
+            jaccard = 1.0 - inter / union
+            grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+            present = gts > 0
+            losses.append(jnp.where(present, jnp.sum(err_s * grad), 0.0))
+            del n_valid
+        losses = jnp.stack(losses)
+        n_present = jnp.maximum(jnp.sum(losses > 0), 1)
+        return jnp.sum(losses) / n_present
+
+    loss = single(outputs[0], target)
+    for aux in outputs[1:]:
+        loss = loss + aux_weight * single(aux, target)
+    return loss
+
+
+def dice_loss(outputs: Sequence, target, smooth: float = 1.0, aux_weight: float = 0.4):
+    def single(logits, tgt):
+        c = logits.shape[-1]
+        lf, tf = _flatten(logits, tgt)
+        valid = (tf >= 0)[:, None]
+        probs = jax.nn.softmax(lf.astype(jnp.float32), axis=-1) * valid
+        onehot = jax.nn.one_hot(jnp.where(tf >= 0, tf, 0), c) * valid
+        inter = jnp.sum(probs * onehot, axis=0)
+        denom = jnp.sum(probs + onehot, axis=0)
+        dice = (2 * inter + smooth) / (denom + smooth)
+        return 1.0 - jnp.mean(dice)
+
+    loss = single(outputs[0], target)
+    for aux in outputs[1:]:
+        loss = loss + aux_weight * single(aux, target)
+    return loss
+
+
+def encnet_se_loss(se_pred, target, nclass: int):
+    """Semantic-encoding loss: BCE on per-image class presence."""
+    n = target.shape[0]
+    onehot_present = jax.vmap(
+        lambda t: jnp.clip(
+            jnp.zeros((nclass,)).at[jnp.where(t >= 0, t, 0).reshape(-1)].add(
+                (t >= 0).reshape(-1).astype(jnp.float32)
+            ),
+            0.0,
+            1.0,
+        )
+    )(target)
+    logp = jax.nn.log_sigmoid(se_pred.astype(jnp.float32))
+    log1mp = jax.nn.log_sigmoid(-se_pred.astype(jnp.float32))
+    bce = -(onehot_present * logp + (1 - onehot_present) * log1mp)
+    return jnp.mean(bce)
+
+
+def encnet_loss(
+    outputs: Sequence, target, se_weight: float = 0.2, aux_weight: float = 0.4
+):
+    """EncNet composite: main CE + SE-loss (BCE on class presence) +
+    weighted aux CE. 2-D outputs in the tuple are SE predictions, the
+    rest are spatial logit maps (main first)."""
+    spatial = [o for o in outputs if o.ndim == 4]
+    se_preds = [o for o in outputs if o.ndim == 2]
+    loss = cross_entropy(spatial[0], target)
+    for aux in spatial[1:]:
+        loss = loss + aux_weight * cross_entropy(aux, target)
+    for se in se_preds:
+        loss = loss + se_weight * encnet_se_loss(se, target, se.shape[-1])
+    return loss
+
+
+def icnet_loss(outputs: Sequence, target, weights=(1.0, 0.4, 0.16)):
+    """Cascade label guidance: CE at each branch scale (targets are
+    nearest-downsampled to each logit resolution)."""
+    loss = 0.0
+    for w, out in zip(weights, outputs):
+        h, w_ = out.shape[1:3]
+        th, tw = target.shape[1:3]
+        if (h, w_) != (th, tw):
+            rows = (jnp.arange(h) * (th / h)).astype(jnp.int32)
+            cols = (jnp.arange(w_) * (tw / w_)).astype(jnp.int32)
+            tgt = target[:, rows][:, :, cols]
+        else:
+            tgt = target
+        loss = loss + w * cross_entropy(out, tgt)
+    return loss
+
+
+def multi_weight_loss(outputs: Sequence, target, weights: Sequence[float]):
+    """Per-output weighted CE (DANet-style MULTI_LOSS_WEIGHT)."""
+    loss = 0.0
+    for i, out in enumerate(outputs):
+        w = weights[i] if i < len(weights) else weights[-1]
+        loss = loss + w * cross_entropy(out, target)
+    return loss
+
+
+def get_segmentation_loss(model_name: str = "", **kwargs) -> Callable:
+    """Returns ``loss_fn(outputs_tuple, target) -> scalar``.
+
+    kwargs mirror the reference: use_ohem, aux, aux_weight, loss_name,
+    ohem_thresh, ohem_min_kept, multi_loss_weight.
+    """
+    use_ohem = kwargs.get("use_ohem", False)
+    aux_weight = kwargs.get("aux_weight", 0.4)
+    loss_name = (kwargs.get("loss_name") or "").lower()
+    mlw = kwargs.get("multi_loss_weight") or [1.0]
+    model = (model_name or "").lower()
+
+    if model == "icnet":
+        return functools.partial(icnet_loss)
+    if model == "encnet":
+        return functools.partial(
+            encnet_loss,
+            se_weight=kwargs.get("se_weight", 0.2),
+            aux_weight=aux_weight,
+        )
+    if use_ohem:
+        return functools.partial(
+            ohem_ce_loss,
+            aux_weight=aux_weight,
+            thresh=kwargs.get("ohem_thresh", 0.7),
+            min_kept=kwargs.get("ohem_min_kept", 100_000),
+        )
+    if loss_name == "focal":
+        return functools.partial(focal_loss, aux_weight=aux_weight)
+    if loss_name == "lovasz":
+        return functools.partial(lovasz_softmax_loss, aux_weight=aux_weight)
+    if loss_name in ("dice", "binary_dice"):
+        return functools.partial(dice_loss, aux_weight=aux_weight)
+    if len(mlw) > 1:
+        return functools.partial(multi_weight_loss, weights=list(mlw))
+    return functools.partial(mix_softmax_ce_loss, aux_weight=aux_weight)
