@@ -122,7 +122,11 @@ class SegmentronConfig(dict):
             raise TypeError(f"Cannot coerce {value!r} to bool for key {key}")
         if isinstance(current, float) and isinstance(value, int):
             return float(value)
-        if isinstance(current, (list, tuple)) and isinstance(value, (list, tuple)):
+        if isinstance(current, (list, tuple)):
+            if isinstance(value, str):  # CLI form: "[0.75, 1.0]"
+                value = yaml.safe_load(io.StringIO(value))
+            if not isinstance(value, (list, tuple)):
+                raise TypeError(f"Cannot coerce {value!r} to list for key {key}")
             return SegmentronConfig._wrap(type(current)(value))
         if isinstance(current, (int, float, str)) and isinstance(value, str):
             # CLI opts arrive as strings; parse with YAML for safety.

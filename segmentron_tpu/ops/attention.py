@@ -1,0 +1,156 @@
+"""Spatial (HW x HW) affinity attention — XLA and Pallas paths.
+
+The reference's DANet PAM / OCNet object-context blocks materialise an
+(HW x HW) affinity with CUDA bmm+softmax (SURVEY.md §2.9). At
+1024x2048 eval (OS8: HW = 32768) that is 4 GB in fp32 — the true
+"long-context" hot spot of this workload.
+
+Two TPU-native implementations:
+
+- ``_attention_xla``: plain einsum/softmax (exact; fine for small HW).
+- ``_attention_pallas``: blockwise flash-style kernel with online
+  softmax — never materialises HW², streams K/V blocks through VMEM,
+  MXU for both matmuls. Used when ``use_pallas`` and the problem is
+  big enough to matter; falls back to XLA otherwise (e.g. under the
+  CPU test mesh where Mosaic is unavailable).
+
+Semantics: ``out_i = sum_j softmax_j(scale * q_i . k_j) v_j`` — with
+``scale=1.0`` this is exactly DANet's (unscaled) PAM; OCNet passes
+``key_channels**-0.5``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["spatial_attention"]
+
+_NEG_INF = -1e30
+
+
+def _attention_xla(q, k, v, scale: float):
+    energy = jnp.einsum("npc,nqc->npq", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(energy * scale, axis=-1)
+    out = jnp.einsum("npq,nqc->npc", attn, v, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, nk, p_real, block_k
+):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # (BQ, Dk)
+    k = k_ref[0]  # (BK, Dk)
+    v = v_ref[0]  # (BK, Dv)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+    # mask zero-padded key rows (would otherwise take softmax mass)
+    if p_real % block_k != 0:
+        cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(cols < p_real, s, _NEG_INF)
+
+    m_prev = m_ref[:]  # (BQ, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (BQ, BK)
+    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _pad_to(x, size: int, axis: int):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _attention_pallas(q, k, v, scale: float, block_q: int = 512, block_k: int = 512):
+    n, p, dk = q.shape
+    dv = v.shape[-1]
+    # pad sequence to block multiples and feature dims to lane width
+    p_pad = -(-p // max(block_q, block_k)) * max(block_q, block_k)
+    dk_pad = max(-(-dk // 128) * 128, 128)
+    dv_pad = max(-(-dv // 128) * 128, 128)
+    qp = _pad_to(_pad_to(q, p_pad, 1), dk_pad, 2)
+    kp = _pad_to(_pad_to(k, p_pad, 1), dk_pad, 2)
+    vp = _pad_to(_pad_to(v, p_pad, 1), dv_pad, 2)
+    nq = p_pad // block_q
+    nk = p_pad // block_k
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, nk=nk, p_real=p, block_k=block_k
+        ),
+        grid=(n, nq, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, dk_pad), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, dk_pad), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_k, dv_pad), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dv_pad), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, p_pad, dv_pad), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dv_pad), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    return out[:, :p, :dv]
+
+
+def spatial_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float = 1.0,
+    use_pallas: bool = False,
+    min_seq_for_pallas: int = 2048,
+) -> jax.Array:
+    """Affinity attention over flattened spatial positions.
+
+    q, k: (N, P, Dk); v: (N, P, Dv) -> (N, P, Dv). Zero-padded key rows
+    are masked to -inf inside the kernel, so any P works.
+    """
+    p = q.shape[1]
+    if (
+        use_pallas
+        and jax.default_backend() == "tpu"
+        and p >= min_seq_for_pallas
+    ):
+        return _attention_pallas(q, k, v, scale=float(scale))
+    return _attention_xla(q, k, v, float(scale))
