@@ -1,0 +1,124 @@
+"""Compiled train/eval steps over the device mesh.
+
+The TPU replacement for the reference's DDP hot loop (SURVEY.md §3.1):
+one jitted ``train_step`` under ``shard_map`` on the ``('data',)`` mesh.
+Batch is sharded on the leading axis; params/opt-state are replicated;
+gradients (and per-replica BatchNorm statistics, when SyncBN is off)
+are ``pmean``-ed over ICI — XLA fuses the collectives with the backward
+pass, which is what DDP's bucketed NCCL allreduce approximates by hand.
+
+State buffers are donated, so the step runs in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils.score import confusion_matrix_update
+
+__all__ = ["TrainState", "make_train_step", "make_eval_step", "make_predict_fn"]
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "data",
+    donate: bool = True,
+):
+    """Build the jitted sharded train step: (state, images, masks) ->
+    (state, loss)."""
+
+    def step_fn(state, images, masks):
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_of(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return loss_fn(outputs, masks), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        # SyncBN already pmeans inside the layer; plain BN stats still must
+        # be identical across replicas for the replicated out-spec, so
+        # pmean unconditionally (a no-op for SyncBN).
+        new_stats = jax.lax.pmean(mutated["batch_stats"], axis)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                rng=state.rng,
+            ),
+            loss,
+        )
+
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, nclass: int, mesh: Mesh, axis: str = "data"):
+    """Sharded eval step: (params, batch_stats, images, masks) ->
+    psum'd confusion matrix (nclass, nclass)."""
+
+    def step_fn(params, batch_stats, images, masks):
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, False
+        )
+        pred = jnp.argmax(outputs[0], axis=-1)
+        cm = confusion_matrix_update(pred, masks, nclass)
+        return jax.lax.psum(cm, axis)
+
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_predict_fn(model):
+    """Single-device jitted logits fn: (variables, images) -> main logits."""
+
+    @jax.jit
+    def predict(variables, images):
+        return model.apply(variables, images, False)[0]
+
+    return predict

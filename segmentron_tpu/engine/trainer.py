@@ -1,0 +1,214 @@
+"""Trainer (reference: ``tools/train.py::Trainer`` — call stack SURVEY.md §3.1).
+
+End-to-end: datasets -> loaders -> model init -> loss/optimizer/
+schedule -> sharded jitted train step -> epoch loop with rank-0
+logging (loss / lr / ETA / images-per-sec-per-chip), periodic orbax
+snapshots, validation with psum'd confusion matrices, best-model
+tracking, auto-resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import cfg
+from ..data import DataLoader, get_segmentation_dataset
+from ..models import get_segmentation_model
+from ..solver import get_lr_scheduler, get_optimizer, get_segmentation_loss
+from ..utils import (
+    SegmentationMetric,
+    batch_sharding,
+    create_mesh,
+    get_logger,
+    replicate_sharding,
+)
+from ..utils.checkpoint import CheckpointManager
+from .steps import TrainState, make_eval_step, make_train_step
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self, args=None, rng_key=None):
+        self.args = args
+        self.logger = get_logger()
+        self.mesh = create_mesh(
+            list(cfg.TPU.MESH_SHAPE) or None, tuple(cfg.TPU.MESH_AXES)
+        )
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.replicated = replicate_sharding(self.mesh)
+
+        # ------------------------------------------------------- data
+        data_kwargs = dict(
+            base_size=cfg.TRAIN.BASE_SIZE, crop_size=cfg.TRAIN.CROP_SIZE
+        )
+        self.train_dataset = get_segmentation_dataset(
+            cfg.DATASET.NAME, split="train", mode="train", **data_kwargs
+        )
+        self.val_dataset = get_segmentation_dataset(
+            cfg.DATASET.NAME, split="val", mode="val", **data_kwargs
+        )
+        self.train_loader = DataLoader(
+            self.train_dataset,
+            batch_size=cfg.TRAIN.BATCH_SIZE,
+            shuffle=True,
+            seed=cfg.SEED,
+            num_workers=cfg.DATASET.WORKERS,
+            prefetch=cfg.TPU.PREFETCH,
+            sharding=self.batch_sharding,
+        )
+        # sharded eval: batch must divide evenly over the mesh
+        val_bs = -(-int(cfg.TEST.BATCH_SIZE) // self.mesh.size) * self.mesh.size
+        self.val_loader = DataLoader(
+            self.val_dataset,
+            batch_size=val_bs,
+            shuffle=False,
+            drop_last=True,  # static shapes for the sharded eval step
+            num_workers=cfg.DATASET.WORKERS,
+            prefetch=cfg.TPU.PREFETCH,
+            sharding=self.batch_sharding,
+        )
+        self.iters_per_epoch = len(self.train_loader)
+        self.max_iters = cfg.TRAIN.EPOCHS * self.iters_per_epoch
+
+        # ------------------------------------------------------ model
+        self.model = get_segmentation_model()
+        self.nclass = self.train_dataset.num_class
+        rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(cfg.SEED)
+        init_rng, self.run_rng = jax.random.split(rng_key)
+        sample = jnp.zeros(
+            (1, cfg.TRAIN.CROP_SIZE, cfg.TRAIN.CROP_SIZE, 3), jnp.float32
+        )
+        variables = self.model.init(init_rng, sample)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        self.logger.info("Model params: %.2fM", n_params / 1e6)
+
+        # ----------------------------------------------------- solver
+        self.criterion = get_segmentation_loss(
+            cfg.MODEL.MODEL_NAME,
+            use_ohem=cfg.SOLVER.OHEM,
+            aux=cfg.SOLVER.AUX,
+            aux_weight=cfg.SOLVER.AUX_WEIGHT,
+            loss_name=cfg.SOLVER.LOSS_NAME,
+            ohem_thresh=cfg.SOLVER.OHEM_THRESH,
+            ohem_min_kept=cfg.SOLVER.OHEM_MIN_KEPT,
+            multi_loss_weight=list(cfg.MODEL.MULTI_LOSS_WEIGHT),
+            se_weight=cfg.MODEL.ENCNET.SE_WEIGHT,
+        )
+        self.lr_schedule = get_lr_scheduler(cfg, self.iters_per_epoch)
+        self.tx = get_optimizer(cfg, params, self.lr_schedule)
+
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            rng=self.run_rng,
+        )
+        self.state = jax.device_put(state, self.replicated)
+
+        # ------------------------------------------------------ steps
+        self.train_step = make_train_step(
+            self.model, self.criterion, self.tx, self.mesh,
+            donate=bool(cfg.TPU.DONATE),
+        )
+        self.eval_step = make_eval_step(self.model, self.nclass, self.mesh)
+
+        # ------------------------------------------------- checkpoint
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.TRAIN.MODEL_SAVE_DIR or "runs/checkpoints", "orbax")
+        )
+        self.best_miou = 0.0
+        self.start_epoch = 0
+        if cfg.TRAIN.RESUME_MODEL_PATH or (args is not None and getattr(args, "resume", False)):
+            self._resume()
+
+    # ------------------------------------------------------------------
+    def _resume(self) -> None:
+        restored = self.ckpt.restore_latest(jax.device_get(self.state))
+        if restored is not None:
+            self.state = jax.device_put(restored, self.replicated)
+            step = int(jax.device_get(self.state.step))
+            self.start_epoch = step // max(self.iters_per_epoch, 1)
+            self.logger.info(
+                "Resumed from step %d (epoch %d)", step, self.start_epoch
+            )
+
+    # ------------------------------------------------------------------
+    def train(self) -> float:
+        log_iters = getattr(self.args, "log_iter", 10) if self.args else 10
+        val_epoch = getattr(self.args, "val_epoch", 1) if self.args else 1
+        skip_val = getattr(self.args, "skip_val", False) if self.args else False
+        epochs = cfg.TRAIN.EPOCHS
+        if cfg.UTILS.EPOCH_STOP > 0:
+            epochs = min(epochs, cfg.UTILS.EPOCH_STOP)
+        n_devices = self.mesh.size
+        start = time.time()
+        last_log = start
+        imgs_since_log = 0
+        final_loss = float("nan")
+
+        for epoch in range(self.start_epoch, epochs):
+            self.train_loader.set_epoch(epoch)
+            for it, batch in enumerate(self.train_loader):
+                self.state, loss = self.train_step(
+                    self.state, batch["image"], batch["mask"]
+                )
+                imgs_since_log += batch["image"].shape[0]
+                step = epoch * self.iters_per_epoch + it + 1
+                if step % log_iters == 0:
+                    loss_v = float(jax.device_get(loss))
+                    final_loss = loss_v
+                    now = time.time()
+                    ips = imgs_since_log / max(now - last_log, 1e-6)
+                    last_log, imgs_since_log = now, 0
+                    lr_v = float(self.lr_schedule(step))
+                    eta = (self.max_iters - step) * (now - start) / max(step, 1)
+                    self.logger.info(
+                        "Epoch %d/%d iter %d/%d | loss %.4f | lr %.6f | "
+                        "%.2f img/s (%.2f/chip) | ETA %dm",
+                        epoch + 1, epochs, it + 1, self.iters_per_epoch,
+                        loss_v, lr_v, ips, ips / n_devices, int(eta / 60),
+                    )
+            final_loss = float(jax.device_get(loss))
+            if (epoch + 1) % cfg.TRAIN.SNAPSHOT_EPOCH == 0:
+                self.ckpt.save(
+                    int(jax.device_get(self.state.step)),
+                    jax.device_get(self.state),
+                )
+                self.logger.info("Snapshot saved at epoch %d", epoch + 1)
+            if not skip_val and (epoch + 1) % val_epoch == 0:
+                pix_acc, miou = self.validate()
+                self.logger.info(
+                    "Validation epoch %d: pixAcc %.4f mIoU %.4f", epoch + 1,
+                    pix_acc, miou,
+                )
+                if miou > self.best_miou:
+                    self.best_miou = miou
+                    self.ckpt.save(
+                        int(jax.device_get(self.state.step)),
+                        jax.device_get(self.state),
+                    )
+        self.ckpt.wait()
+        return final_loss
+
+    # ------------------------------------------------------------------
+    def validate(self):
+        metric = SegmentationMetric(self.nclass)
+        for batch in self.val_loader:
+            cm = self.eval_step(
+                self.state.params,
+                self.state.batch_stats,
+                batch["image"],
+                batch["mask"],
+            )
+            metric.update_cm(cm)
+        return metric.get()
