@@ -124,6 +124,11 @@ cfg.MODEL.CGNET.STAGE3_BLOCK_NUM = 21
 
 cfg.MODEL.POINTREND = SegmentronConfig()
 cfg.MODEL.POINTREND.BASEMODEL = "DeepLabV3_Plus"
+cfg.MODEL.POINTREND.NUM_POINTS = 1024  # train-time sampled points
+cfg.MODEL.POINTREND.OVERSAMPLE = 3  # candidate multiplier k
+cfg.MODEL.POINTREND.IMPORTANCE = 0.75  # beta: fraction picked by uncertainty
+cfg.MODEL.POINTREND.SUBDIVISION_STEPS = 2
+cfg.MODEL.POINTREND.SUBDIVISION_POINTS = 2048
 
 cfg.MODEL.HRNET = SegmentronConfig()
 cfg.MODEL.HRNET.PRETRAINED_LAYERS = ["*"]

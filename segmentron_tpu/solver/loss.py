@@ -28,6 +28,7 @@ __all__ = [
     "encnet_se_loss",
     "encnet_loss",
     "icnet_loss",
+    "pointrend_loss",
     "get_segmentation_loss",
 ]
 
@@ -206,6 +207,20 @@ def encnet_loss(
     return loss
 
 
+def pointrend_loss(outputs: Sequence, target, point_weight: float = 1.0):
+    """Coarse CE + point CE. ``outputs`` = (main logits, point logits
+    (B,N,C), point coords (B,N,2) in [0,1]); point targets are the
+    nearest ground-truth labels at the sampled coordinates."""
+    main, pt_logits, coords = outputs
+    loss = cross_entropy(main, target)
+    th, tw = target.shape[1:3]
+    ys = jnp.clip((coords[..., 1] * th).astype(jnp.int32), 0, th - 1)
+    xs = jnp.clip((coords[..., 0] * tw).astype(jnp.int32), 0, tw - 1)
+    flat_t = target.reshape(target.shape[0], th * tw)
+    pt_target = jnp.take_along_axis(flat_t, ys * tw + xs, axis=1)  # (B, N)
+    return loss + point_weight * cross_entropy(pt_logits, pt_target)
+
+
 def icnet_loss(outputs: Sequence, target, weights=(1.0, 0.4, 0.16)):
     """Cascade label guidance: CE at each branch scale (targets are
     nearest-downsampled to each logit resolution)."""
@@ -246,6 +261,8 @@ def get_segmentation_loss(model_name: str = "", **kwargs) -> Callable:
 
     if model == "icnet":
         return functools.partial(icnet_loss)
+    if model == "pointrend":
+        return functools.partial(pointrend_loss)
     if model == "encnet":
         return functools.partial(
             encnet_loss,

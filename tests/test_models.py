@@ -24,6 +24,15 @@ CASES = [
     ("BiSeNet", "resnet18", {}, 3),
     ("ICNet", "resnet18", {}, 3),
     ("DenseASPP", "resnet18", {}, 2),
+    ("CGNet", "", {}, 1),
+    ("CCNet", "resnet18", {}, 2),
+    ("DUNet", "resnet18", {}, 2),
+    ("LEDNet", "", {}, 1),
+    ("EncNet", "resnet18", {}, 3),
+    ("ESPNetV2", "eespnet", {}, 1),
+    ("HardNet", "", {}, 1),
+    ("DFANet", "", {}, 1),
+    ("PointRend", "resnet18", {}, 1),
 ]
 
 
