@@ -6,12 +6,23 @@ The reference publishes no throughput number ("published": {}), so
 ``vs_baseline`` is the ratio against a fixed nominal of 1.0 img/s/chip
 (documented here so rounds are comparable to each other).
 
-Methodology notes (this container): the TPU is reached through a
-loopback relay with ~60-90 ms per-dispatch latency, and
-``block_until_ready`` does NOT block on it — so the timing loop runs
-*inside* one jit (``lax.fori_loop`` with an input-dependence chain to
-defeat loop-invariant hoisting) and the clock stops on a scalar
-readback, which drains the pipeline.
+Methodology notes (this container):
+- The TPU is reached through a loopback relay with ~60-90 ms
+  per-dispatch latency and *remote* XLA compilation
+  (PALLAS_AXON_REMOTE_COMPILE=1) that can take tens of minutes for a
+  large graph. Mitigations: params are initialized on the host CPU
+  backend (so the only TPU compile is the timed loop itself), the
+  persistent compilation cache is enabled under .jax_cache/ (a rerun
+  in the same container skips the compile entirely), and progress is
+  logged with timestamps so a slow compile is distinguishable from a
+  hang.
+- ``block_until_ready`` does NOT block through the relay, so the
+  timing loop runs *inside* one jit (``lax.fori_loop`` with an
+  input-dependence chain to defeat loop-invariant hoisting) and the
+  clock stops on a scalar readback, which drains the pipeline.
+
+Env knobs: BENCH_H/BENCH_W (default 1024/2048), BENCH_ITERS,
+BENCH_BATCH.
 """
 
 import json
@@ -22,10 +33,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
 NOMINAL_BASELINE_IPS = 1.0  # img/s/chip; see module docstring
+
+
+def log(msg):
+    print(f"[bench +{time.time() - T0:8.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
 
 
 def main():
@@ -40,11 +65,24 @@ def main():
     cfg.SOLVER.AUX = False
     model = get_segmentation_model()
 
-    h, w = 1024, 2048
+    h = int(os.environ.get("BENCH_H", 1024))
+    w = int(os.environ.get("BENCH_W", 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
     on_tpu = jax.default_backend() != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    x = jnp.zeros((1, h, w, 3), compute_dtype)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+
+    # Init on the host CPU backend: the only TPU compile should be the
+    # timed loop itself (remote compiles are expensive here).
+    log("initializing params on CPU")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+        )
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    x = jax.device_put(jnp.zeros((batch, h, w, 3), compute_dtype), dev)
+    log(f"params on {dev}, input {x.shape} {x.dtype}")
 
     def forward(v, images):
         return model.apply(v, images, False)[0]
@@ -59,16 +97,20 @@ def main():
             # cannot hoist the loop body
             img = img * (1.0 + 0.0 * acc).astype(img.dtype)
             return acc, img
+
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), images))
         return acc
 
-    iters = 10 if on_tpu else 1
+    iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 1))
+    log("compiling timed loop (remote compile may take many minutes)")
     _ = np.asarray(timed_loop(variables, x, 1))  # compile + warm
+    log("compiled; timing")
     t0 = time.perf_counter()
     s = np.asarray(timed_loop(variables, x, iters))  # readback drains pipe
     dt = time.perf_counter() - t0
     assert np.isfinite(s)
     ips = iters * x.shape[0] / dt
+    log(f"{iters} iters in {dt:.3f}s")
 
     print(
         json.dumps(

@@ -27,6 +27,7 @@ from ..utils import (
     create_mesh,
     get_logger,
     replicate_sharding,
+    show_flops_params,
 )
 from ..utils.checkpoint import CheckpointManager
 from .steps import TrainState, make_eval_step, make_train_step
@@ -86,10 +87,25 @@ class Trainer:
             (1, cfg.TRAIN.CROP_SIZE, cfg.TRAIN.CROP_SIZE, 3), jnp.float32
         )
         variables = self.model.init(init_rng, sample)
+        if cfg.TRAIN.BACKBONE_PRETRAINED and cfg.MODEL.BACKBONE:
+            from ..utils.download import resolve_pretrained
+            from ..utils.torch_convert import load_backbone_pretrained
+
+            path = resolve_pretrained(
+                cfg.MODEL.BACKBONE.lower(), cfg.TRAIN.BACKBONE_PRETRAINED_PATH
+            )
+            if path:
+                variables = load_backbone_pretrained(
+                    variables, cfg.MODEL.BACKBONE.lower(), path
+                )
+            else:
+                self.logger.info(
+                    "No pretrained weights found for backbone %s; training "
+                    "from scratch", cfg.MODEL.BACKBONE,
+                )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        n_params = sum(p.size for p in jax.tree.leaves(params))
-        self.logger.info("Model params: %.2fM", n_params / 1e6)
+        show_flops_params(self.model, variables, sample.shape, self.logger)
 
         # ----------------------------------------------------- solver
         self.criterion = get_segmentation_loss(

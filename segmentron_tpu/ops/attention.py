@@ -147,10 +147,9 @@ def spatial_attention(
     are masked to -inf inside the kernel, so any P works.
     """
     p = q.shape[1]
-    if (
-        use_pallas
-        and jax.default_backend() == "tpu"
-        and p >= min_seq_for_pallas
-    ):
+    # TPU platforms: "tpu" natively; "axon" when reached through the
+    # relay plugin in this container — both run Mosaic.
+    backend = jax.default_backend()
+    if use_pallas and backend in ("tpu", "axon") and p >= min_seq_for_pallas:
         return _attention_pallas(q, k, v, scale=float(scale))
     return _attention_xla(q, k, v, float(scale))

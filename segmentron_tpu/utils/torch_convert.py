@@ -22,6 +22,8 @@ __all__ = [
     "t2j_dense_kernel",
     "t2j_bn",
     "load_torch_state_dict",
+    "convert_resnet_state",
+    "load_backbone_pretrained",
 ]
 
 
@@ -60,3 +62,102 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
     return {k: _np(v) for k, v in state.items() if hasattr(v, "detach")}
+
+
+def _bn_entries(state, prefix: str):
+    """(params, batch_stats) dicts for a torch BN at ``prefix``."""
+    params = {"scale": _np(state[prefix + ".weight"]), "bias": _np(state[prefix + ".bias"])}
+    stats = {
+        "mean": _np(state[prefix + ".running_mean"]),
+        "var": _np(state[prefix + ".running_var"]),
+    }
+    return params, stats
+
+
+def convert_resnet_state(state: Dict[str, np.ndarray], layers) -> Dict[str, Any]:
+    """Map a torchvision-style ResNet ``state_dict`` onto our flax
+    backbone tree (scopes: conv1/bn1 stem, ``layer{i}_{b}`` blocks with
+    conv{j}/bn{j} and downsample_conv/downsample_bn).
+
+    Returns ``{"params": ..., "batch_stats": ...}`` pytrees to merge
+    under the model's "backbone" scope. The classifier fc is dropped.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(scope, sub, p, s):
+        params.setdefault(scope, {})[sub] = p
+        if s is not None:
+            stats.setdefault(scope, {})[sub] = s
+
+    params["conv1"] = {"kernel": t2j_conv_kernel(state["conv1.weight"])}
+    p, s = _bn_entries(state, "bn1")
+    params["bn1"] = p
+    stats["bn1"] = s
+
+    bottleneck = any(k.startswith("layer1.0.conv3") for k in state)
+    n_convs = 3 if bottleneck else 2
+    for li, n_blocks in enumerate(layers, start=1):
+        for b in range(n_blocks):
+            scope = f"layer{li}_{b}"
+            tp = f"layer{li}.{b}"
+            params[scope] = {}
+            stats[scope] = {}
+            for j in range(1, n_convs + 1):
+                params[scope][f"conv{j}"] = {
+                    "kernel": t2j_conv_kernel(state[f"{tp}.conv{j}.weight"])
+                }
+                bp, bs = _bn_entries(state, f"{tp}.bn{j}")
+                params[scope][f"bn{j}"] = bp
+                stats[scope][f"bn{j}"] = bs
+            if f"{tp}.downsample.0.weight" in state:
+                params[scope]["downsample_conv"] = {
+                    "kernel": t2j_conv_kernel(state[f"{tp}.downsample.0.weight"])
+                }
+                bp, bs = _bn_entries(state, f"{tp}.downsample.1")
+                params[scope]["downsample_bn"] = bp
+                stats[scope]["downsample_bn"] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+_RESNET_LAYERS = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+
+
+def load_backbone_pretrained(variables, backbone: str, path: str):
+    """Merge pretrained torch weights for ``backbone`` into the model's
+    ``variables`` (under the "backbone" scope). Returns new variables;
+    unknown backbones return them unchanged with a warning."""
+    from .logger import get_logger
+
+    logger = get_logger()
+    if backbone not in _RESNET_LAYERS:
+        logger.warning("No torch->jax converter for backbone %r yet", backbone)
+        return variables
+    state = load_torch_state_dict(path)
+    tree = convert_resnet_state(state, _RESNET_LAYERS[backbone])
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+                out[k] = merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = merge(
+        dict(variables["params"]), {"backbone": tree["params"]}
+    )
+    if "batch_stats" in variables:
+        new_vars["batch_stats"] = merge(
+            dict(variables["batch_stats"]), {"backbone": tree["batch_stats"]}
+        )
+    logger.info("Loaded pretrained %s weights from %s", backbone, path)
+    return new_vars

@@ -54,10 +54,11 @@ def test_model_forward_shapes(fresh_cfg, name, backbone, overrides, n_out):
     variables = model.init(jax.random.PRNGKey(0), x)
     outs = model.apply(variables, x)
     assert len(outs) == n_out
-    # ICNet's cascade guidance maps stay at /8 and /16 by design (the
-    # reference's ICNetLoss downsamples targets instead of upsampling)
-    for o in outs[: 1 if name == "ICNet" else None]:
-        assert o.shape == (1, 64, 64, 19), (name, o.shape)
+    # Main output is always input-resolution logits. Aux outputs may
+    # differ: ICNet's cascade guidance maps stay at /8 and /16 by design
+    # (ICNetLoss downsamples targets instead), and EncNet emits a 2-D
+    # (B, nclass) semantic-encoding prediction for the SE loss.
+    assert outs[0].shape == (1, 64, 64, 19), (name, outs[0].shape)
     for o in outs:
         assert o.shape[-1] == 19 and o.shape[0] == 1, (name, o.shape)
     # backbone params live under the "backbone" scope (LR-split contract);
