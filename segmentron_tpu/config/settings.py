@@ -156,3 +156,7 @@ cfg.TPU.DONATE = True  # donate train-state buffers into the step
 # ---------------------------------------------------------------- utils
 cfg.UTILS = SegmentronConfig()
 cfg.UTILS.EPOCH_STOP = -1  # early stop for smoke runs; -1 disables
+cfg.UTILS.DEBUG_NANS = False  # jax_debug_nans: fail fast on NaN (SURVEY §5.2)
+cfg.UTILS.PROFILE_STEPS = 0  # trace this many train steps with jax.profiler
+cfg.UTILS.PROFILE_START = 10  # first step to trace (skip compile+warmup)
+cfg.UTILS.PROFILE_DIR = "runs/profile"

@@ -126,14 +126,24 @@ class SegmentationDataset:
         else:
             ow = outsize
             oh = int(1.0 * h * ow / w)
-        img = img.resize((ow, oh), Image.BILINEAR)
-        mask = mask.resize((ow, oh), Image.NEAREST)
-        w, h = img.size
-        x1 = int(round((w - outsize) / 2.0))
-        y1 = int(round((h - outsize) / 2.0))
-        img = img.crop((x1, y1, x1 + outsize, y1 + outsize))
-        mask = mask.crop((x1, y1, x1 + outsize, y1 + outsize))
-        return self._img_transform(img), self._mask_transform(mask)
+        x1 = int(round((ow - outsize) / 2.0))
+        y1 = int(round((oh - outsize) / 2.0))
+        from .._native import fused_resize_normalize, native_lib, resize_nearest_i32
+
+        if native_lib() is not None:
+            # fused C++ resample+normalize (one pass, OpenMP); center
+            # crop afterwards — normalization is pointwise so the order
+            # is equivalent to PIL crop-then-normalize.
+            arr = np.asarray(img.convert("RGB"), np.uint8)
+            img_t = fused_resize_normalize(arr, (oh, ow), self.mean, self.std)
+            mask_t = resize_nearest_i32(self._mask_transform(mask), (oh, ow))
+        else:
+            img_r = img.resize((ow, oh), Image.BILINEAR)
+            img_t = self._img_transform(img_r)
+            mask_t = self._mask_transform(mask.resize((ow, oh), Image.NEAREST))
+        img_t = img_t[y1 : y1 + outsize, x1 : x1 + outsize]
+        mask_t = mask_t[y1 : y1 + outsize, x1 : x1 + outsize]
+        return img_t, mask_t
 
     def _testval_transform(self, img, mask):
         return self._img_transform(img), self._mask_transform(mask)

@@ -172,12 +172,29 @@ class Trainer:
         imgs_since_log = 0
         final_loss = float("nan")
 
+        # optional jax.profiler window (SURVEY §5.1): trace steps
+        # [PROFILE_START, PROFILE_START + PROFILE_STEPS)
+        prof_n = int(cfg.UTILS.PROFILE_STEPS)
+        prof_lo = int(cfg.UTILS.PROFILE_START)
+        profiling = False
+
         for epoch in range(self.start_epoch, epochs):
             self.train_loader.set_epoch(epoch)
             for it, batch in enumerate(self.train_loader):
+                global_step = epoch * self.iters_per_epoch + it
+                if prof_n > 0 and global_step == prof_lo and not profiling:
+                    jax.profiler.start_trace(cfg.UTILS.PROFILE_DIR)
+                    profiling = True
                 self.state, loss = self.train_step(
                     self.state, batch["image"], batch["mask"]
                 )
+                if profiling and global_step >= prof_lo + prof_n - 1:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.info(
+                        "Profiler trace written to %s", cfg.UTILS.PROFILE_DIR
+                    )
                 imgs_since_log += batch["image"].shape[0]
                 step = epoch * self.iters_per_epoch + it + 1
                 if step % log_iters == 0:

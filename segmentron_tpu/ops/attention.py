@@ -86,8 +86,13 @@ def _pad_to(x, size: int, axis: int):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _attention_pallas(q, k, v, scale: float, block_q: int = 512, block_k: int = 512):
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _attention_pallas(
+    q, k, v, scale: float, block_q: int = 512, block_k: int = 512,
+    interpret: bool = False,
+):
     n, p, dk = q.shape
     dv = v.shape[-1]
     # pad sequence to block multiples and feature dims to lane width
@@ -129,6 +134,7 @@ def _attention_pallas(q, k, v, scale: float, block_q: int = 512, block_k: int = 
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(qp, kp, vp)
     return out[:, :p, :dv]
 

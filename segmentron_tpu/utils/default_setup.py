@@ -50,5 +50,12 @@ def default_setup(args=None):
     if get_rank() == 0:
         with open(os.path.join(save_dir, "config.yaml"), "w") as f:
             f.write(cfg.dump())
+    if cfg.UTILS.DEBUG_NANS:
+        # SURVEY §5.2: the TPU replacement for race/sanitizer tooling —
+        # jit purity plus fail-fast NaN checking.
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+        logger.info("jax_debug_nans enabled")
     rng_key = seed_all_rng(cfg.SEED)
     return rng_key
