@@ -85,6 +85,14 @@ def main():
     log(f"params on {dev}, input {x.shape} {x.dtype}")
 
     def forward(v, images):
+        # bf16 params + bf16 input -> true bf16 MXU compute (fp32 params
+        # would silently promote the whole graph back to fp32)
+        v = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            v,
+        )
         return model.apply(v, images, False)[0]
 
     @jax.jit

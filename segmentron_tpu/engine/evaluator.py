@@ -48,7 +48,9 @@ class Evaluator:
         if variables is None:
             variables = self._load_variables()
         self.variables = variables
-        self.predict_fn = make_predict_fn(self.model)
+        self.predict_fn = make_predict_fn(
+            self.model, compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+        )
         self.metric = SegmentationMetric(self.nclass)
 
     def _load_variables(self):

@@ -35,6 +35,16 @@ class TrainState:
     rng: jax.Array
 
 
+def _cast_floats(tree, dtype):
+    """Cast float leaves to ``dtype`` (ints/bools untouched)."""
+    def cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != dtype:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
 def make_train_step(
     model,
     loss_fn: Callable,
@@ -42,18 +52,28 @@ def make_train_step(
     mesh: Mesh,
     axis: str = "data",
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Build the jitted sharded train step: (state, images, masks) ->
-    (state, loss)."""
+    (state, loss).
+
+    ``compute_dtype=bfloat16`` enables mixed precision — the TPU
+    replacement for the reference's apex.amp: fp32 master params, bf16
+    forward/backward (MXU native), fp32 loss/optimizer. BN statistics
+    stay fp32 (flax computes stats with float32 promotion).
+    """
+    half = compute_dtype if compute_dtype is not None else jnp.float32
+    mixed = half != jnp.float32
 
     def step_fn(state, images, masks):
         rng = jax.random.fold_in(state.rng, state.step)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def loss_of(params):
+            fwd_params = _cast_floats(params, half) if mixed else params
             outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
+                {"params": fwd_params, "batch_stats": state.batch_stats},
+                images.astype(half) if mixed else images,
                 True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
@@ -63,6 +83,11 @@ def make_train_step(
         (loss, mutated), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params
         )
+        if mixed:
+            grads = _cast_floats(grads, jnp.float32)
+            mutated = {"batch_stats": _cast_floats(
+                mutated["batch_stats"], jnp.float32
+            )}
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         # SyncBN already pmeans inside the layer; plain BN stats still must
@@ -92,11 +117,18 @@ def make_train_step(
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, nclass: int, mesh: Mesh, axis: str = "data"):
+def make_eval_step(
+    model, nclass: int, mesh: Mesh, axis: str = "data", compute_dtype=None
+):
     """Sharded eval step: (params, batch_stats, images, masks) ->
     psum'd confusion matrix (nclass, nclass)."""
+    half = compute_dtype if compute_dtype is not None else jnp.float32
+    mixed = half != jnp.float32
 
     def step_fn(params, batch_stats, images, masks):
+        if mixed:
+            params = _cast_floats(params, half)
+            images = images.astype(half)
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, False
         )
@@ -114,11 +146,20 @@ def make_eval_step(model, nclass: int, mesh: Mesh, axis: str = "data"):
     return jax.jit(sharded)
 
 
-def make_predict_fn(model):
-    """Single-device jitted logits fn: (variables, images) -> main logits."""
+def make_predict_fn(model, compute_dtype=None):
+    """Single-device jitted logits fn: (variables, images) -> main logits.
+
+    Logits are returned in fp32 regardless of compute dtype (TTA sums
+    and argmax-margin comparisons need the precision)."""
+    half = compute_dtype if compute_dtype is not None else jnp.float32
+    mixed = half != jnp.float32
 
     @jax.jit
     def predict(variables, images):
-        return model.apply(variables, images, False)[0]
+        if mixed:
+            variables = dict(variables)
+            variables["params"] = _cast_floats(variables["params"], half)
+            images = images.astype(half)
+        return model.apply(variables, images, False)[0].astype(jnp.float32)
 
     return predict

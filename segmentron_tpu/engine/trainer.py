@@ -132,11 +132,17 @@ class Trainer:
         self.state = jax.device_put(state, self.replicated)
 
         # ------------------------------------------------------ steps
+        compute_dtype = jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+        if compute_dtype != jnp.float32:
+            self.logger.info("Mixed precision: %s compute, fp32 params",
+                             compute_dtype.name)
         self.train_step = make_train_step(
             self.model, self.criterion, self.tx, self.mesh,
-            donate=bool(cfg.TPU.DONATE),
+            donate=bool(cfg.TPU.DONATE), compute_dtype=compute_dtype,
         )
-        self.eval_step = make_eval_step(self.model, self.nclass, self.mesh)
+        self.eval_step = make_eval_step(
+            self.model, self.nclass, self.mesh, compute_dtype=compute_dtype
+        )
 
         # ------------------------------------------------- checkpoint
         self.ckpt = CheckpointManager(
