@@ -18,6 +18,15 @@ __all__ = ["default_setup"]
 
 
 def default_setup(args=None):
+    # Multi-host rendezvous (reference: dist.init_process_group("nccl",
+    # init_method="env://") — SURVEY §3.5). On TPU pods the coordinator
+    # is discovered from the environment; single-host runs skip this.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        import jax
+
+        jax.distributed.initialize()
     run_name = "_".join(
         x
         for x in (

@@ -7,8 +7,11 @@ import argparse
 __all__ = ["parse_args"]
 
 
-def parse_args(argv=None):
+def parse_args(argv=None, extra=None):
+    """``extra``: list of (args_tuple, kwargs_dict) for tool-specific flags."""
     parser = argparse.ArgumentParser(description="SegmenTron-TPU")
+    for eargs, ekw in extra or []:
+        parser.add_argument(*eargs, **ekw)
     parser.add_argument(
         "--config-file", metavar="FILE", default=None, help="config file path"
     )
