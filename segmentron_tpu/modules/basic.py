@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .batch_norm import NormConfig
@@ -86,6 +87,30 @@ class ConvBNReLU(nn.Module):
         return x
 
 
+class _SharedKernel(nn.Module):
+    """Shadow declaration of an nn.Conv 'kernel' param (same scope/name)
+    so the fused Pallas path reads the weights the regular path owns."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class _SharedBN(nn.Module):
+    """Shadow declaration of an nn.BatchNorm's variables (scale/bias +
+    running mean/var), matching names and shapes."""
+
+    @nn.compact
+    def __call__(self, ch: int):
+        scale = self.param("scale", nn.initializers.ones, (ch,))
+        bias = self.param("bias", nn.initializers.zeros, (ch,))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((ch,)))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((ch,)))
+        return scale, bias, mean.value, var.value
+
+
 class SeparableConv2d(nn.Module):
     """Depthwise 3x3 (+norm[/relu]) then pointwise 1x1 (+norm).
 
@@ -93,6 +118,12 @@ class SeparableConv2d(nn.Module):
     DeepLabv3+ decoder. ``relu_first=False`` matches the reference's
     aligned-Xception block ordering (dw -> BN -> pw -> BN), with an
     optional ReLU between dw-BN and pw as in the decoder blocks.
+
+    Inference fast path: when eval-mode on TPU with plain/sync/frozen BN
+    and a stride-1 3x3, the whole block runs as ONE fused Pallas kernel
+    (``ops.sepconv``) with both BNs folded — the depthwise intermediate
+    never touches HBM (this model family measures HBM-bound; see
+    BASELINE.md). Toggle with ``cfg.TPU.USE_PALLAS``.
     """
 
     features: int
@@ -102,9 +133,65 @@ class SeparableConv2d(nn.Module):
     norm: NormConfig = NormConfig()
     relu_first: bool = True
 
+    def _fusable(self, x, train: bool) -> bool:
+        from ..config import cfg
+        from ..ops.sepconv import sepconv_vmem_ok
+
+        if train or self.is_initializing():
+            return False
+        if not bool(cfg.TPU.USE_PALLAS):
+            return False
+        import os
+
+        interpret = os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
+        if not interpret and jax.default_backend() not in ("tpu",):
+            return False
+        if _pair(self.kernel_size) != (3, 3) or _pair(self.stride) != (1, 1):
+            return False
+        d = _pair(self.dilation)
+        if d[0] != d[1]:
+            return False
+        if self.norm.bn_type not in ("BN", "SyncBN", "FrozenBN"):
+            return False
+        n, h, w, c = x.shape
+        tile = self._tile_h(h, w, c, d[0])
+        return tile is not None
+
+    def _tile_h(self, h, w, c, d):
+        from ..ops.sepconv import sepconv_vmem_ok
+
+        for tile in (16, 8, 4):
+            if h % tile == 0 and h >= tile + 2 * d and sepconv_vmem_ok(
+                h, w, c, self.features, d, tile_h=tile
+            ):
+                return tile
+        return None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
+        if self._fusable(x, train):
+            import os
+
+            from ..ops.sepconv import fused_sepconv_infer
+
+            d = _pair(self.dilation)[0]
+            dw_k = _SharedKernel((3, 3, 1, in_ch), name="depthwise")()
+            s1, b1, m1, v1 = _SharedBN(name="dw_bn")(in_ch)
+            pw_k = _SharedKernel((1, 1, in_ch, self.features), name="pointwise")()
+            s2, b2, m2, v2 = _SharedBN(name="pw_bn")(self.features)
+            eps = self.norm.eps
+            mid_scale = s1 * jax.lax.rsqrt(v1 + eps)
+            mid_bias = b1 - m1 * mid_scale
+            out_scale = s2 * jax.lax.rsqrt(v2 + eps)
+            out_bias = b2 - m2 * out_scale
+            return fused_sepconv_infer(
+                x, dw_k, mid_scale, mid_bias, pw_k, out_scale, out_bias,
+                dilation=d, pre_relu=self.relu_first,
+                tile_h=self._tile_h(x.shape[1], x.shape[2], in_ch, d),
+                interpret=os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1",
+            )
+
         if self.relu_first:
             x = nn.relu(x)
         x = conv2d(

@@ -1,0 +1,183 @@
+"""Fused separable-conv inference kernel (Pallas).
+
+Why: DeepLabv3+/Xception-65 at 1024x2048 measures HBM-bandwidth-bound
+(~17 GB/img effective vs 819 GB/s on v5e — see BASELINE.md), and XLA
+does not fuse conv->conv, so every SeparableConv2d round-trips its
+depthwise intermediate (same size as the input) through HBM. This
+kernel computes
+
+    [relu ->] dw3x3(dilated) -> BN(folded) -> pw1x1 -> BN(folded)
+
+entirely in VMEM per (batch, row-tile) grid cell: the depthwise taps
+are 9 shifted VPU multiply-adds on a haloed row tile, the pointwise is
+one (TILE_H*W, C) x (C, Co) MXU matmul, and only the final output is
+written back — eliminating the intermediate's write+read.
+
+Inference-only (BN folded from running stats); training keeps the XLA
+path. Halo rows are DMA'd with clamped ranges, so no pre-padded copy
+of the input is materialized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_sepconv_infer", "sepconv_ref", "sepconv_vmem_ok"]
+
+
+def sepconv_ref(x, dw_kernel, mid_scale, mid_bias, pw_kernel, out_scale,
+                out_bias, dilation: int = 1, pre_relu: bool = False):
+    """XLA reference with identical semantics (parity oracle/fallback)."""
+    c = x.shape[-1]
+    if pre_relu:
+        x = jax.nn.relu(x)
+    d = (dilation, dilation)
+    y = jax.lax.conv_general_dilated(
+        x, dw_kernel, (1, 1), [(dilation, dilation)] * 2,
+        rhs_dilation=d, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    y = y * mid_scale + mid_bias
+    out = jnp.einsum("nhwc,co->nhwo", y, pw_kernel,
+                     preferred_element_type=jnp.float32)
+    return (out * out_scale + out_bias).astype(x.dtype)
+
+
+def _kernel(x_hbm, dwk_ref, mid_ref, pwk_ref, outsb_ref, o_ref, xv, sem, *,
+            tile_h: int, d: int, pre_relu: bool, h: int, w: int):
+    i = pl.program_id(1)
+    y0 = i * tile_h
+    rows = tile_h + 2 * d
+    b = pl.program_id(0)
+
+    # ---- haloed row tile: scratch row r <-> source row (y0 - d + r).
+    # DMA sizes must be static, so the transfer is split into a body
+    # and two conditional halo copies; skipped halos stay zero (the
+    # conv's zero padding). Side columns are zeroed every cell.
+    xv[:, : d, :] = jnp.zeros((rows, d, xv.shape[-1]), xv.dtype)
+    xv[:, d + w :, :] = jnp.zeros((rows, d, xv.shape[-1]), xv.dtype)
+    xv[: d] = jnp.zeros((d,) + xv.shape[1:], xv.dtype)
+    xv[d + tile_h :] = jnp.zeros((d,) + xv.shape[1:], xv.dtype)
+
+    body = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(y0, tile_h)], xv.at[pl.ds(d, tile_h), pl.ds(d, w)],
+        sem.at[0],
+    )
+    body.start()
+
+    @pl.when(y0 >= d)
+    def _top():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(y0 - d, d)], xv.at[pl.ds(0, d), pl.ds(d, w)],
+            sem.at[1],
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(y0 + tile_h + d <= h)
+    def _bottom():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(y0 + tile_h, d)],
+            xv.at[pl.ds(d + tile_h, d), pl.ds(d, w)],
+            sem.at[2],
+        )
+        cp.start()
+        cp.wait()
+
+    body.wait()
+
+    xt = xv[...]
+    if pre_relu:
+        # halo zero-padding survives relu: relu(0) = 0
+        xt = jnp.maximum(xt, 0)
+
+    # ---- depthwise 3x3 (dilated): 9 statically-shifted VPU FMAs in fp32
+    dwk = dwk_ref[...].astype(jnp.float32)  # (3, 3, C)
+    acc = jnp.zeros((tile_h, w, xt.shape[-1]), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            win = xt[ky * d : ky * d + tile_h, kx * d : kx * d + w].astype(
+                jnp.float32
+            )
+            acc = acc + win * dwk[ky, kx][None, None, :]
+
+    mid = mid_ref[...].astype(jnp.float32)  # (2, C): scale, bias
+    acc = acc * mid[0][None, None, :] + mid[1][None, None, :]
+
+    # ---- pointwise 1x1: one MXU matmul over the flattened tile
+    pwk = pwk_ref[...]
+    c = pwk.shape[0]
+    out = jnp.dot(
+        acc.reshape(tile_h * w, c).astype(pwk.dtype), pwk,
+        preferred_element_type=jnp.float32,
+    )
+    osb = outsb_ref[...].astype(jnp.float32)  # (2, Co)
+    out = out * osb[0][None, :] + osb[1][None, :]
+    o_ref[0] = out.reshape(tile_h, w, -1).astype(o_ref.dtype)
+
+
+def sepconv_vmem_ok(h: int, w: int, c: int, c_out: int, dilation: int,
+                    dtype_bytes: int = 2, tile_h: int = 8,
+                    budget: int = 12 * 1024 * 1024) -> bool:
+    """Conservative VMEM estimate for the fused kernel at this shape."""
+    d = dilation
+    scratch = (tile_h + 2 * d) * (w + 2 * d) * c * dtype_bytes
+    acc = tile_h * w * c * 4
+    out = tile_h * w * c_out * 4 + tile_h * w * c_out * dtype_bytes
+    weights = c * c_out * dtype_bytes + 9 * c * 4
+    return (scratch + acc + out + weights) < budget and h % tile_h == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "pre_relu", "tile_h", "interpret"),
+)
+def fused_sepconv_infer(
+    x, dw_kernel, mid_scale, mid_bias, pw_kernel, out_scale, out_bias,
+    dilation: int = 1, pre_relu: bool = False, tile_h: int = 8,
+    interpret: bool = False,
+):
+    """x (N,H,W,C) -> (N,H,W,Co). ``dw_kernel`` (3,3,1,C) HWIO-depthwise
+    or (3,3,C); ``pw_kernel`` (C,Co) or HWIO (1,1,C,Co). H % tile_h == 0
+    (callers pick tile_h via ``sepconv_vmem_ok``)."""
+    n, h, w, c = x.shape
+    if dw_kernel.ndim == 4:
+        dw_kernel = dw_kernel.reshape(3, 3, c)
+    if pw_kernel.ndim == 4:
+        pw_kernel = pw_kernel.reshape(c, -1)
+    co = pw_kernel.shape[-1]
+    assert h % tile_h == 0, (h, tile_h)
+    mid = jnp.stack([mid_scale, mid_bias]).astype(jnp.float32)  # (2, C)
+    osb = jnp.stack([out_scale, out_bias]).astype(jnp.float32)  # (2, Co)
+
+    grid = (n, h // tile_h)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, tile_h=tile_h, d=dilation, pre_relu=pre_relu, h=h, w=w
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, co), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * dilation, w + 2 * dilation, c), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(x, dw_kernel, mid, pw_kernel, osb)
+    return out

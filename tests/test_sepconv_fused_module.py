@@ -1,0 +1,43 @@
+"""SeparableConv2d fused-path integration: eval with the Pallas fast
+path (interpret mode, forced via env) must match the regular XLA
+module path on the same variables — this validates the shadow variable
+declarations and the BN folding inside the module."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from segmentron_tpu.config import cfg
+from segmentron_tpu.modules import SeparableConv2d
+from segmentron_tpu.modules.batch_norm import NormConfig
+
+
+@pytest.mark.parametrize("relu_first,dilation", [(True, 1), (False, 2)])
+def test_fused_module_matches_regular(fresh_cfg, monkeypatch, relu_first, dilation):
+    mod = SeparableConv2d(
+        features=32, norm=NormConfig(), relu_first=relu_first, dilation=dilation
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 16, 24, 16).astype(np.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    # make running stats non-trivial so BN folding is actually exercised
+    variables = jax.tree.map(lambda a: a, variables)
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+    for bn in ("dw_bn", "pw_bn"):
+        st = variables["batch_stats"][bn]
+        st["mean"] = rng.randn(*st["mean"].shape).astype(np.float32) * 0.1
+        st["var"] = (rng.rand(*st["var"].shape).astype(np.float32) + 0.5)
+
+    fresh_cfg.TPU.USE_PALLAS = False
+    ref = np.asarray(mod.apply(variables, x))
+
+    fresh_cfg.TPU.USE_PALLAS = True
+    monkeypatch.setenv("SEGMENTRON_PALLAS_INTERPRET", "1")
+    out = np.asarray(mod.apply(variables, x))
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

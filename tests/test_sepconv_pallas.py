@@ -1,0 +1,46 @@
+"""Fused separable-conv Pallas kernel parity vs the XLA reference
+(interpret mode on CPU; the compiled Mosaic path shares the kernel
+body). Covers dilation, pre-relu, rectangular shapes and the
+BN-folding math."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("h,w,c,co,d,pre_relu", [
+    (16, 24, 8, 16, 1, False),
+    (16, 24, 8, 16, 1, True),
+    (16, 24, 8, 16, 2, True),   # exit-flow style dilation
+    (32, 16, 16, 8, 1, True),
+])
+def test_fused_sepconv_matches_ref(h, w, c, co, d, pre_relu):
+    from segmentron_tpu.ops.sepconv import fused_sepconv_infer, sepconv_ref
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, h, w, c).astype(np.float32)
+    dwk = rng.randn(3, 3, 1, c).astype(np.float32) * 0.2
+    pwk = rng.randn(c, co).astype(np.float32) * 0.2
+    ms = rng.rand(c).astype(np.float32) + 0.5
+    mb = rng.randn(c).astype(np.float32) * 0.1
+    os_ = rng.rand(co).astype(np.float32) + 0.5
+    ob = rng.randn(co).astype(np.float32) * 0.1
+
+    ref = np.asarray(
+        sepconv_ref(x, dwk, ms, mb, pwk, os_, ob, dilation=d, pre_relu=pre_relu)
+    )
+    out = np.asarray(
+        fused_sepconv_infer(
+            x, dwk, ms, mb, pwk, os_, ob,
+            dilation=d, pre_relu=pre_relu, tile_h=8, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_vmem_estimator():
+    from segmentron_tpu.ops.sepconv import sepconv_vmem_ok
+
+    # middle-flow Xception shape at OS16 on 1024x2048 input: fits
+    assert sepconv_vmem_ok(64, 128, 728, 728, 1)
+    # entry-flow high-res huge-channel shape: must be rejected
+    assert not sepconv_vmem_ok(512, 1024, 728, 728, 1)
