@@ -57,25 +57,23 @@ def _kernel(x_hbm, dwk_ref, mid_ref, pwk_ref, outsb_ref, o_ref, xv, sem, *,
     b = pl.program_id(0)
 
     # ---- haloed row tile: scratch row r <-> source row (y0 - d + r).
-    # DMA sizes must be static, so the transfer is split into a body
-    # and two conditional halo copies; skipped halos stay zero (the
-    # conv's zero padding). Side columns are zeroed every cell.
-    xv[:, : d, :] = jnp.zeros((rows, d, xv.shape[-1]), xv.dtype)
-    xv[:, d + w :, :] = jnp.zeros((rows, d, xv.shape[-1]), xv.dtype)
+    # Mosaic DMA constraints (measured on v5e): lane dim (C) must be a
+    # multiple of 128 and only untiled leading dims may be offset — so
+    # the scratch holds FULL-WIDTH rows (no side columns; the W halo is
+    # applied in-register below) and the transfer is a body plus two
+    # conditional halo copies (skipped halos stay zero = conv padding).
     xv[: d] = jnp.zeros((d,) + xv.shape[1:], xv.dtype)
     xv[d + tile_h :] = jnp.zeros((d,) + xv.shape[1:], xv.dtype)
 
     body = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(y0, tile_h)], xv.at[pl.ds(d, tile_h), pl.ds(d, w)],
-        sem.at[0],
+        x_hbm.at[b, pl.ds(y0, tile_h)], xv.at[pl.ds(d, tile_h)], sem.at[0]
     )
     body.start()
 
     @pl.when(y0 >= d)
     def _top():
         cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(y0 - d, d)], xv.at[pl.ds(0, d), pl.ds(d, w)],
-            sem.at[1],
+            x_hbm.at[b, pl.ds(y0 - d, d)], xv.at[pl.ds(0, d)], sem.at[1]
         )
         cp.start()
         cp.wait()
@@ -84,7 +82,7 @@ def _kernel(x_hbm, dwk_ref, mid_ref, pwk_ref, outsb_ref, o_ref, xv, sem, *,
     def _bottom():
         cp = pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(y0 + tile_h, d)],
-            xv.at[pl.ds(d + tile_h, d), pl.ds(d, w)],
+            xv.at[pl.ds(d + tile_h, d)],
             sem.at[2],
         )
         cp.start()
@@ -96,6 +94,8 @@ def _kernel(x_hbm, dwk_ref, mid_ref, pwk_ref, outsb_ref, o_ref, xv, sem, *,
     if pre_relu:
         # halo zero-padding survives relu: relu(0) = 0
         xt = jnp.maximum(xt, 0)
+    # W halo in-register (VPU shift, no memory traffic)
+    xt = jnp.pad(xt, ((0, 0), (d, d), (0, 0)))
 
     # ---- depthwise 3x3 (dilated): 9 statically-shifted VPU FMAs in fp32
     dwk = dwk_ref[...].astype(jnp.float32)  # (3, 3, C)
@@ -125,7 +125,11 @@ def _kernel(x_hbm, dwk_ref, mid_ref, pwk_ref, outsb_ref, o_ref, xv, sem, *,
 def sepconv_vmem_ok(h: int, w: int, c: int, c_out: int, dilation: int,
                     dtype_bytes: int = 2, tile_h: int = 8,
                     budget: int = 12 * 1024 * 1024) -> bool:
-    """Conservative VMEM estimate for the fused kernel at this shape."""
+    """Shape admissibility for the fused kernel: VMEM fit + Mosaic DMA
+    lane alignment (C and Co must be multiples of 128 — measured v5e
+    constraint for row-sliced HBM->VMEM copies)."""
+    if c % 128 != 0 or c_out % 128 != 0:
+        return False
     d = dilation
     scratch = (tile_h + 2 * d) * (w + 2 * d) * c * dtype_bytes
     acc = tile_h * w * c * 4
@@ -175,7 +179,7 @@ def fused_sepconv_infer(
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * dilation, w + 2 * dilation, c), x.dtype),
+            pltpu.VMEM((tile_h + 2 * dilation, w, c), x.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

@@ -16,11 +16,12 @@ from segmentron_tpu.modules.batch_norm import NormConfig
 
 @pytest.mark.parametrize("relu_first,dilation", [(True, 1), (False, 2)])
 def test_fused_module_matches_regular(fresh_cfg, monkeypatch, relu_first, dilation):
+    # 128-aligned channels so the fused-path gate admits the shape
     mod = SeparableConv2d(
-        features=32, norm=NormConfig(), relu_first=relu_first, dilation=dilation
+        features=128, norm=NormConfig(), relu_first=relu_first, dilation=dilation
     )
     rng = np.random.RandomState(0)
-    x = rng.randn(1, 16, 24, 16).astype(np.float32)
+    x = rng.randn(1, 16, 24, 128).astype(np.float32)
     variables = mod.init(jax.random.PRNGKey(0), x)
     # make running stats non-trivial so BN folding is actually exercised
     variables = jax.tree.map(lambda a: a, variables)
@@ -37,7 +38,16 @@ def test_fused_module_matches_regular(fresh_cfg, monkeypatch, relu_first, dilati
 
     fresh_cfg.TPU.USE_PALLAS = True
     monkeypatch.setenv("SEGMENTRON_PALLAS_INTERPRET", "1")
+    import segmentron_tpu.ops.sepconv as sepconv_mod
+
+    calls = []
+    real = sepconv_mod.fused_sepconv_infer
+    monkeypatch.setattr(
+        sepconv_mod, "fused_sepconv_infer",
+        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1],
+    )
     out = np.asarray(mod.apply(variables, x))
 
+    assert calls, "fused Pallas path was not taken"
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

@@ -37,10 +37,15 @@ def test_fused_sepconv_matches_ref(h, w, c, co, d, pre_relu):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_vmem_estimator():
+def test_admissibility():
     from segmentron_tpu.ops.sepconv import sepconv_vmem_ok
 
-    # middle-flow Xception shape at OS16 on 1024x2048 input: fits
-    assert sepconv_vmem_ok(64, 128, 728, 728, 1)
-    # entry-flow high-res huge-channel shape: must be rejected
-    assert not sepconv_vmem_ok(512, 1024, 728, 728, 1)
+    # entry-flow block1 second sepconv at 1024x2048 input: 128ch, fits
+    # with a short row tile
+    assert sepconv_vmem_ok(512, 1024, 128, 128, 1, tile_h=4)
+    # decoder sepconvs: 256ch at 256x512
+    assert sepconv_vmem_ok(256, 512, 256, 256, 1)
+    # Xception middle flow: 728 isn't lane-aligned (Mosaic DMA limit)
+    assert not sepconv_vmem_ok(64, 128, 728, 728, 1)
+    # VMEM blowout must be rejected
+    assert not sepconv_vmem_ok(512, 1024, 1024, 1024, 1)
