@@ -44,7 +44,7 @@ def test_admissibility():
     # with a short row tile
     assert sepconv_vmem_ok(512, 1024, 128, 128, 1, tile_h=4)
     # decoder sepconvs: 256ch at 256x512
-    assert sepconv_vmem_ok(256, 512, 256, 256, 1)
+    assert sepconv_vmem_ok(256, 512, 256, 256, 1, tile_h=4)
     # Xception middle flow: 728 isn't lane-aligned (Mosaic DMA limit)
     assert not sepconv_vmem_ok(64, 128, 728, 728, 1)
     # VMEM blowout must be rejected
