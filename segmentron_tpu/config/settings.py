@@ -150,7 +150,12 @@ cfg.TPU.COMPUTE_DTYPE = "float32"  # float32 | bfloat16
 cfg.TPU.PARAM_DTYPE = "float32"
 cfg.TPU.REMAT = False  # jax.checkpoint on backbone stages
 cfg.TPU.PREFETCH = 2  # host->device pipeline depth
-cfg.TPU.USE_PALLAS = True  # fused Pallas kernels where available
+cfg.TPU.USE_PALLAS = True  # blockwise Pallas attention (enables DANet/
+#   OCNet at resolutions where the (HW)^2 affinity cannot materialize)
+cfg.TPU.USE_PALLAS_SEPCONV = False  # fused sepconv kernel: measured
+#   SLOWER than XLA's conv emitters on v5e (29 vs 47 img/s on the
+#   bench config — single-buffered manual DMA loses to XLA's pipelined
+#   convs); kept for future double-buffered iteration. See BASELINE.md.
 cfg.TPU.DONATE = True  # donate train-state buffers into the step
 
 # ---------------------------------------------------------------- utils

@@ -139,7 +139,7 @@ class SeparableConv2d(nn.Module):
 
         if train or self.is_initializing():
             return False
-        if not bool(cfg.TPU.USE_PALLAS):
+        if not bool(cfg.TPU.USE_PALLAS_SEPCONV):
             return False
         import os
 

@@ -33,10 +33,10 @@ def test_fused_module_matches_regular(fresh_cfg, monkeypatch, relu_first, dilati
         st["mean"] = rng.randn(*st["mean"].shape).astype(np.float32) * 0.1
         st["var"] = (rng.rand(*st["var"].shape).astype(np.float32) + 0.5)
 
-    fresh_cfg.TPU.USE_PALLAS = False
+    fresh_cfg.TPU.USE_PALLAS_SEPCONV = False
     ref = np.asarray(mod.apply(variables, x))
 
-    fresh_cfg.TPU.USE_PALLAS = True
+    fresh_cfg.TPU.USE_PALLAS_SEPCONV = True
     monkeypatch.setenv("SEGMENTRON_PALLAS_INTERPRET", "1")
     import segmentron_tpu.ops.sepconv as sepconv_mod
 
