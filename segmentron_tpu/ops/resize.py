@@ -83,12 +83,21 @@ def resize_bilinear(
     if (in_h, in_w) == (out_h, out_w):
         return x[0] if squeeze else x
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    wh = interp_matrix(in_h, out_h, align_corners)  # (out_h, in_h)
-    ww = interp_matrix(in_w, out_w, align_corners)  # (out_w, in_w)
+    # fp32 inputs (parity tests, TTA probability accumulation) keep
+    # exact fp32 interpolation; bf16 model activations interpolate in
+    # bf16 with fp32 accumulation — halving the HBM traffic of the
+    # decoder upsamples, which is what bounds this workload.
+    if orig_dtype == jnp.bfloat16:
+        xf, prec = x, "default"
+    else:
+        xf, prec = x.astype(jnp.float32), "highest"
+    wh = interp_matrix(in_h, out_h, align_corners, dtype=xf.dtype)
+    ww = interp_matrix(in_w, out_w, align_corners, dtype=xf.dtype)
     # (N,H,W,C): contract H then W — two MXU matmuls.
-    y = jnp.einsum("oh,nhwc->nowc", wh, xf, precision='highest', preferred_element_type=jnp.float32)
-    y = jnp.einsum("pw,nowc->nopc", ww, y, precision='highest', preferred_element_type=jnp.float32)
+    y = jnp.einsum("oh,nhwc->nowc", wh, xf, precision=prec,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,nowc->nopc", ww, y, precision=prec,
+                   preferred_element_type=jnp.float32)
     y = y.astype(orig_dtype)
     return y[0] if squeeze else y
 
