@@ -152,10 +152,13 @@ cfg.TPU.REMAT = False  # jax.checkpoint on backbone stages
 cfg.TPU.PREFETCH = 2  # host->device pipeline depth
 cfg.TPU.USE_PALLAS = True  # blockwise Pallas attention (enables DANet/
 #   OCNet at resolutions where the (HW)^2 affinity cannot materialize)
-cfg.TPU.USE_PALLAS_SEPCONV = False  # fused sepconv kernel: measured
-#   SLOWER than XLA's conv emitters on v5e (29 vs 47 img/s on the
-#   bench config — single-buffered manual DMA loses to XLA's pipelined
-#   convs); kept for future double-buffered iteration. See BASELINE.md.
+cfg.TPU.USE_PALLAS_SEPCONV = False  # fused sepconv kernels measured
+#   SLOWER than XLA's conv emitters model-level on v5e (v1 manual-DMA:
+#   29 img/s; v2 pipelined-BlockSpec: 34 img/s; XLA path: 50 img/s on
+#   the bench config) — XLA's conv fusion already keeps this workload
+#   at the HBM roofline and the per-layer halo materialization costs
+#   more than the intermediate it saves. Kept as reference kernels +
+#   parity tests. See BASELINE.md.
 cfg.TPU.DONATE = True  # donate train-state buffers into the step
 
 # ---------------------------------------------------------------- utils

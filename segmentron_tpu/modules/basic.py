@@ -173,7 +173,7 @@ class SeparableConv2d(nn.Module):
         if self._fusable(x, train):
             import os
 
-            from ..ops.sepconv import fused_sepconv_infer
+            from ..ops.sepconv import fused_sepconv_infer_v2
 
             d = _pair(self.dilation)[0]
             dw_k = _SharedKernel((3, 3, 1, in_ch), name="depthwise")()
@@ -185,7 +185,7 @@ class SeparableConv2d(nn.Module):
             mid_bias = b1 - m1 * mid_scale
             out_scale = s2 * jax.lax.rsqrt(v2 + eps)
             out_bias = b2 - m2 * out_scale
-            return fused_sepconv_infer(
+            return fused_sepconv_infer_v2(
                 x, dw_k, mid_scale, mid_bias, pw_k, out_scale, out_bias,
                 dilation=d, pre_relu=self.relu_first,
                 tile_h=self._tile_h(x.shape[1], x.shape[2], in_ch, d),

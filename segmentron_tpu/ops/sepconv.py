@@ -125,17 +125,108 @@ def _kernel(x_hbm, dwk_ref, mid_ref, pwk_ref, outsb_ref, o_ref, xv, sem, *,
 def sepconv_vmem_ok(h: int, w: int, c: int, c_out: int, dilation: int,
                     dtype_bytes: int = 2, tile_h: int = 8,
                     budget: int = 12 * 1024 * 1024) -> bool:
-    """Shape admissibility for the fused kernel: VMEM fit + Mosaic DMA
-    lane alignment (C and Co must be multiples of 128 — measured v5e
-    constraint for row-sliced HBM->VMEM copies)."""
-    if c % 128 != 0 or c_out % 128 != 0:
-        return False
+    """Shape admissibility for the pipelined (v2) fused kernel: VMEM fit
+    with double-buffered input/halo/output blocks. (The v1 manual-DMA
+    kernel additionally needed 128-aligned channels; v2 uses standard
+    BlockSpec pipelining and has no alignment constraint.)"""
     d = dilation
-    scratch = (tile_h + 2 * d) * (w + 2 * d) * c * dtype_bytes
-    acc = tile_h * w * c * 4
-    out = tile_h * w * c_out * 4 + tile_h * w * c_out * dtype_bytes
+    blocks = 2 * (tile_h + 2 * d) * w * c * dtype_bytes  # double-buffered in
+    acc = (tile_h + 2 * d) * (w + 2 * d) * c * 4  # padded fp32 working set
+    out = tile_h * w * c_out * 4 + 2 * tile_h * w * c_out * dtype_bytes
     weights = c * c_out * dtype_bytes + 9 * c * 4
-    return (scratch + acc + out + weights) < budget and h % tile_h == 0
+    return (blocks + acc + out + weights) < budget and h % tile_h == 0
+
+
+def _kernel_v2(x_ref, top_ref, bot_ref, dwk_ref, mid_ref, pwk_ref,
+               outsb_ref, o_ref, *, tile_h: int, d: int, pre_relu: bool,
+               w: int):
+    """Pipelined variant: x arrives as a standard VMEM block (Mosaic
+    double-buffers it); the d halo rows above/below come as thin side
+    inputs precomputed in XLA. No manual DMA -> no lane-alignment
+    constraints, works at any channel width."""
+    xt = jnp.concatenate([top_ref[0, 0], x_ref[0], bot_ref[0, 0]], axis=0)
+    if pre_relu:
+        xt = jnp.maximum(xt, 0)
+    xt = jnp.pad(xt, ((0, 0), (d, d), (0, 0)))
+
+    dwk = dwk_ref[...].astype(jnp.float32)
+    acc = jnp.zeros((tile_h, w, xt.shape[-1]), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            win = xt[ky * d : ky * d + tile_h, kx * d : kx * d + w].astype(
+                jnp.float32
+            )
+            acc = acc + win * dwk[ky, kx][None, None, :]
+    mid = mid_ref[...].astype(jnp.float32)
+    acc = acc * mid[0][None, None, :] + mid[1][None, None, :]
+
+    pwk = pwk_ref[...]
+    c = pwk.shape[0]
+    out = jnp.dot(
+        acc.reshape(tile_h * w, c).astype(pwk.dtype), pwk,
+        preferred_element_type=jnp.float32,
+    )
+    osb = outsb_ref[...].astype(jnp.float32)
+    out = out * osb[0][None, :] + osb[1][None, :]
+    o_ref[0] = out.reshape(tile_h, w, -1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "pre_relu", "tile_h", "interpret"),
+)
+def fused_sepconv_infer_v2(
+    x, dw_kernel, mid_scale, mid_bias, pw_kernel, out_scale, out_bias,
+    dilation: int = 1, pre_relu: bool = False, tile_h: int = 8,
+    interpret: bool = False,
+):
+    """Pipelined fused sepconv: halo rows are built in XLA (cheap fused
+    gathers), the main tile streams through Mosaic's double-buffered
+    pipeline. Same semantics as :func:`fused_sepconv_infer`."""
+    n, h, w, c = x.shape
+    d = dilation
+    if dw_kernel.ndim == 4:
+        dw_kernel = dw_kernel.reshape(3, 3, c)
+    if pw_kernel.ndim == 4:
+        pw_kernel = pw_kernel.reshape(c, -1)
+    co = pw_kernel.shape[-1]
+    assert h % tile_h == 0 and h >= tile_h, (h, tile_h)
+    nt = h // tile_h
+    mid = jnp.stack([mid_scale, mid_bias]).astype(jnp.float32)
+    osb = jnp.stack([out_scale, out_bias]).astype(jnp.float32)
+
+    # halo side inputs: tops[i] = x rows [i*T-d, i*T), bots[i] = rows
+    # [i*T+T, i*T+T+d), zero outside the image
+    xr = x.reshape(n, nt, tile_h, w, c)
+    zero = jnp.zeros((n, 1, d, w, c), x.dtype)
+    tops = jnp.concatenate([zero, xr[:, :-1, tile_h - d :]], axis=1)
+    bots = jnp.concatenate([xr[:, 1:, :d], zero], axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v2, tile_h=tile_h, d=d, pre_relu=pre_relu, w=w
+        ),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile_h, w, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, w, c), lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d, w, c), lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, co), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
+        interpret=interpret,
+    )(x, tops, bots, dw_kernel, mid, pw_kernel, osb)
+    return out
 
 
 @functools.partial(

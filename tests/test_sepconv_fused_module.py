@@ -41,9 +41,9 @@ def test_fused_module_matches_regular(fresh_cfg, monkeypatch, relu_first, dilati
     import segmentron_tpu.ops.sepconv as sepconv_mod
 
     calls = []
-    real = sepconv_mod.fused_sepconv_infer
+    real = sepconv_mod.fused_sepconv_infer_v2
     monkeypatch.setattr(
-        sepconv_mod, "fused_sepconv_infer",
+        sepconv_mod, "fused_sepconv_infer_v2",
         lambda *a, **kw: (calls.append(1), real(*a, **kw))[1],
     )
     out = np.asarray(mod.apply(variables, x))

@@ -7,14 +7,21 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.parametrize("variant", ["v1", "v2"])
 @pytest.mark.parametrize("h,w,c,co,d,pre_relu", [
     (16, 24, 8, 16, 1, False),
     (16, 24, 8, 16, 1, True),
     (16, 24, 8, 16, 2, True),   # exit-flow style dilation
     (32, 16, 16, 8, 1, True),
 ])
-def test_fused_sepconv_matches_ref(h, w, c, co, d, pre_relu):
-    from segmentron_tpu.ops.sepconv import fused_sepconv_infer, sepconv_ref
+def test_fused_sepconv_matches_ref(h, w, c, co, d, pre_relu, variant):
+    from segmentron_tpu.ops.sepconv import (
+        fused_sepconv_infer,
+        fused_sepconv_infer_v2,
+        sepconv_ref,
+    )
+
+    kernel = fused_sepconv_infer if variant == "v1" else fused_sepconv_infer_v2
 
     rng = np.random.RandomState(0)
     x = rng.randn(2, h, w, c).astype(np.float32)
@@ -29,7 +36,7 @@ def test_fused_sepconv_matches_ref(h, w, c, co, d, pre_relu):
         sepconv_ref(x, dwk, ms, mb, pwk, os_, ob, dilation=d, pre_relu=pre_relu)
     )
     out = np.asarray(
-        fused_sepconv_infer(
+        kernel(
             x, dwk, ms, mb, pwk, os_, ob,
             dilation=d, pre_relu=pre_relu, tile_h=8, interpret=True,
         )
@@ -45,7 +52,7 @@ def test_admissibility():
     assert sepconv_vmem_ok(512, 1024, 128, 128, 1, tile_h=4)
     # decoder sepconvs: 256ch at 256x512
     assert sepconv_vmem_ok(256, 512, 256, 256, 1, tile_h=4)
-    # Xception middle flow: 728 isn't lane-aligned (Mosaic DMA limit)
-    assert not sepconv_vmem_ok(64, 128, 728, 728, 1)
+    # Xception middle flow: v2 has no lane-alignment constraint
+    assert sepconv_vmem_ok(64, 128, 728, 728, 1, tile_h=4)
     # VMEM blowout must be rejected
     assert not sepconv_vmem_ok(512, 1024, 1024, 1024, 1)
