@@ -23,6 +23,7 @@ __all__ = [
     "t2j_bn",
     "load_torch_state_dict",
     "convert_resnet_state",
+    "resnet_state_from_flax",
     "load_backbone_pretrained",
 ]
 
@@ -118,6 +119,56 @@ def convert_resnet_state(state: Dict[str, np.ndarray], layers) -> Dict[str, Any]
                 params[scope]["downsample_bn"] = bp
                 stats[scope]["downsample_bn"] = bs
     return {"params": params, "batch_stats": stats}
+
+
+def resnet_state_from_flax(params, batch_stats) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_resnet_state`: flax backbone pytrees ->
+    a torchvision-named state_dict (HWIO -> OIHW), for users moving
+    checkpoints back to the torch reference."""
+    state: Dict[str, np.ndarray] = {}
+
+    def put_bn(tname, scope):
+        state[tname + ".weight"] = np.asarray(params[scope]["scale"])
+        state[tname + ".bias"] = np.asarray(params[scope]["bias"])
+        state[tname + ".running_mean"] = np.asarray(batch_stats[scope]["mean"])
+        state[tname + ".running_var"] = np.asarray(batch_stats[scope]["var"])
+
+    state["conv1.weight"] = np.asarray(params["conv1"]["kernel"]).transpose(
+        3, 2, 0, 1
+    )
+    put_bn("bn1", "bn1")
+    for scope in sorted(k for k in params if k.startswith("layer")):
+        li, b = scope[5:].split("_")
+        tp = f"layer{li}.{b}"
+        sub = params[scope]
+        for name in sub:
+            if name.startswith("conv"):
+                state[f"{tp}.{name}.weight"] = np.asarray(
+                    sub[name]["kernel"]
+                ).transpose(3, 2, 0, 1)
+            elif name.startswith("bn"):
+                state[f"{tp}.{name}.weight"] = np.asarray(sub[name]["scale"])
+                state[f"{tp}.{name}.bias"] = np.asarray(sub[name]["bias"])
+                state[f"{tp}.{name}.running_mean"] = np.asarray(
+                    batch_stats[scope][name]["mean"]
+                )
+                state[f"{tp}.{name}.running_var"] = np.asarray(
+                    batch_stats[scope][name]["var"]
+                )
+            elif name == "downsample_conv":
+                state[f"{tp}.downsample.0.weight"] = np.asarray(
+                    sub[name]["kernel"]
+                ).transpose(3, 2, 0, 1)
+            elif name == "downsample_bn":
+                state[f"{tp}.downsample.1.weight"] = np.asarray(sub[name]["scale"])
+                state[f"{tp}.downsample.1.bias"] = np.asarray(sub[name]["bias"])
+                state[f"{tp}.downsample.1.running_mean"] = np.asarray(
+                    batch_stats[scope][name]["mean"]
+                )
+                state[f"{tp}.downsample.1.running_var"] = np.asarray(
+                    batch_stats[scope][name]["var"]
+                )
+    return state
 
 
 _RESNET_LAYERS = {

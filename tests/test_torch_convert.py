@@ -74,6 +74,21 @@ def test_convert_resnet18_matches_flax_tree(fresh_cfg):
     )
 
 
+def test_roundtrip_torch_flax_torch():
+    """torch state -> flax tree -> torch state is the identity."""
+    from segmentron_tpu.utils.torch_convert import (
+        convert_resnet_state,
+        resnet_state_from_flax,
+    )
+
+    state = _fake_torchvision_resnet18_state()
+    tree = convert_resnet_state(state, (2, 2, 2, 2))
+    back = resnet_state_from_flax(tree["params"], tree["batch_stats"])
+    assert set(back) == set(state)
+    for k in state:
+        np.testing.assert_allclose(back[k], state[k], rtol=0, atol=0)
+
+
 def test_load_backbone_pretrained_merges(fresh_cfg, tmp_path):
     import jax
     import torch
