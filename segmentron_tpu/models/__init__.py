@@ -20,5 +20,6 @@ from . import espnetv2  # noqa: F401
 from . import hardnet  # noqa: F401
 from . import dfanet  # noqa: F401
 from . import pointrend  # noqa: F401
+from . import translab  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "get_segmentation_model", "SegBaseModel"]

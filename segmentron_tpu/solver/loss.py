@@ -29,6 +29,7 @@ __all__ = [
     "encnet_loss",
     "icnet_loss",
     "pointrend_loss",
+    "translab_loss",
     "get_segmentation_loss",
 ]
 
@@ -207,6 +208,40 @@ def encnet_loss(
     return loss
 
 
+def _boundary_from_mask(target, ignore_clean: bool = True):
+    """Binary boundary map from an int mask: a pixel is boundary iff any
+    4-neighbour has a different (valid) class."""
+    t = target
+    diff = jnp.zeros(t.shape, bool)
+    for axis, shift in ((1, 1), (1, -1), (2, 1), (2, -1)):
+        n = jnp.roll(t, shift, axis=axis)
+        d = (n != t) & (n >= 0) & (t >= 0)
+        diff = diff | d
+    return diff.astype(jnp.float32)
+
+
+def translab_loss(
+    outputs: Sequence, target, boundary_weight: float = 5.0
+):
+    """TransLab: segmentation CE + (dice + BCE) on the boundary stream;
+    the boundary target is derived from the mask on device."""
+    seg, boundary_logits = outputs[0], outputs[1]
+    loss = cross_entropy(seg, target)
+    bt = _boundary_from_mask(target)  # (B, H, W)
+    bl = boundary_logits[..., 0].astype(jnp.float32)
+    valid = (target >= 0).astype(jnp.float32)
+    # BCE
+    logp = jax.nn.log_sigmoid(bl)
+    log1mp = jax.nn.log_sigmoid(-bl)
+    bce = -(bt * logp + (1 - bt) * log1mp) * valid
+    bce = jnp.sum(bce) / jnp.maximum(jnp.sum(valid), 1)
+    # soft dice
+    p = jax.nn.sigmoid(bl) * valid
+    inter = jnp.sum(p * bt)
+    dice = 1.0 - (2 * inter + 1.0) / (jnp.sum(p) + jnp.sum(bt) + 1.0)
+    return loss + boundary_weight * (bce + dice)
+
+
 def pointrend_loss(outputs: Sequence, target, point_weight: float = 1.0):
     """Coarse CE + point CE. ``outputs`` = (main logits, point logits
     (B,N,C), point coords (B,N,2) in [0,1]); point targets are the
@@ -263,6 +298,8 @@ def get_segmentation_loss(model_name: str = "", **kwargs) -> Callable:
         return functools.partial(icnet_loss)
     if model == "pointrend":
         return functools.partial(pointrend_loss)
+    if model == "translab":
+        return functools.partial(translab_loss)
     if model == "encnet":
         return functools.partial(
             encnet_loss,

@@ -70,3 +70,25 @@ def test_model_forward_shapes(fresh_cfg, name, backbone, overrides, n_out):
 def test_registry_has_core_models():
     for name in ["FCN", "PSPNet", "DeepLabV3_Plus", "HRNet", "OCNet", "DANet"]:
         assert name in MODEL_REGISTRY
+
+
+def test_translab_outputs_and_loss(fresh_cfg):
+    """TransLab emits (seg logits, 1-ch boundary logits); its composite
+    loss derives the boundary target from the mask on device."""
+    from segmentron_tpu.solver import get_segmentation_loss
+
+    fresh_cfg.MODEL.MODEL_NAME = "TransLab"
+    fresh_cfg.MODEL.BACKBONE = "resnet18"
+    fresh_cfg.DATASET.NAME = "transparent11"
+    fresh_cfg.TRAIN.SYNC_BATCH_NORM = False
+    fresh_cfg.TPU.USE_PALLAS = False
+    model = get_segmentation_model()
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    seg, boundary = model.apply(variables, x)
+    assert seg.shape == (1, 64, 64, 12)
+    assert boundary.shape == (1, 64, 64, 1)
+    loss_fn = get_segmentation_loss("TransLab")
+    tgt = np.random.RandomState(0).randint(0, 12, (1, 64, 64)).astype(np.int32)
+    loss = float(loss_fn((seg, boundary), tgt))
+    assert np.isfinite(loss) and loss > 0
