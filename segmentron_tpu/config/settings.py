@@ -150,6 +150,7 @@ cfg.TPU.COMPUTE_DTYPE = "float32"  # float32 | bfloat16
 cfg.TPU.PARAM_DTYPE = "float32"
 cfg.TPU.REMAT = False  # jax.checkpoint on backbone stages
 cfg.TPU.PREFETCH = 2  # host->device pipeline depth
+cfg.TPU.REMAT = "none"  # activation remat: none | dots | full
 cfg.TPU.USE_PALLAS = True  # blockwise Pallas attention (enables DANet/
 #   OCNet at resolutions where the (HW)^2 affinity cannot materialize)
 cfg.TPU.USE_PALLAS_SEPCONV = False  # fused sepconv kernels measured

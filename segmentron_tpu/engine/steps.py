@@ -53,6 +53,7 @@ def make_train_step(
     axis: str = "data",
     donate: bool = True,
     compute_dtype=None,
+    remat: str = "none",
 ):
     """Build the jitted sharded train step: (state, images, masks) ->
     (state, loss).
@@ -61,9 +62,34 @@ def make_train_step(
     replacement for the reference's apex.amp: fp32 master params, bf16
     forward/backward (MXU native), fp32 loss/optimizer. BN statistics
     stay fp32 (flax computes stats with float32 promotion).
+
+    ``remat``: activation rematerialization for memory-bound crops
+    (HBM <-> FLOPs trade, SURVEY.md build-plan lever):
+    - "none": save all activations (fastest, most memory);
+    - "dots": save matmul/conv outputs only, recompute elementwise;
+    - "full": save only the inputs, recompute the whole forward.
     """
     half = compute_dtype if compute_dtype is not None else jnp.float32
     mixed = half != jnp.float32
+    if remat not in ("none", "dots", "full"):
+        raise ValueError(f"Unknown remat mode: {remat!r}")
+
+    def forward(params, batch_stats, images, rng):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+
+    if remat == "full":
+        forward = jax.checkpoint(forward)
+    elif remat == "dots":
+        forward = jax.checkpoint(
+            forward,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
 
     def step_fn(state, images, masks):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -71,12 +97,11 @@ def make_train_step(
 
         def loss_of(params):
             fwd_params = _cast_floats(params, half) if mixed else params
-            outputs, mutated = model.apply(
-                {"params": fwd_params, "batch_stats": state.batch_stats},
+            outputs, mutated = forward(
+                fwd_params,
+                state.batch_stats,
                 images.astype(half) if mixed else images,
-                True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
+                rng,
             )
             return loss_fn(outputs, masks), mutated
 

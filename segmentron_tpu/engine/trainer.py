@@ -139,6 +139,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.criterion, self.tx, self.mesh,
             donate=bool(cfg.TPU.DONATE), compute_dtype=compute_dtype,
+            remat=str(cfg.TPU.REMAT),
         )
         self.eval_step = make_eval_step(
             self.model, self.nclass, self.mesh, compute_dtype=compute_dtype
