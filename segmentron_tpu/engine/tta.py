@@ -15,6 +15,7 @@ re-design keeps every compiled shape static:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional, Sequence
 
@@ -32,6 +33,56 @@ def predict_whole(predict_fn: Callable, variables, image: jax.Array) -> jax.Arra
     return predict_fn(variables, image)
 
 
+def _grid_positions(ph: int, pw: int, crop: int, stride: int):
+    rows = max(int(math.ceil((ph - crop) / stride)) + 1, 1)
+    cols = max(int(math.ceil((pw - crop) / stride)) + 1, 1)
+    return [
+        (min(r * stride, ph - crop), min(c * stride, pw - crop))
+        for r in range(rows)
+        for c in range(cols)
+    ]
+
+
+@functools.lru_cache(maxsize=64)
+def _sliding_fn(predict_id, h: int, w: int, ch: int, crop: int, stride: int,
+                nclass: int):
+    """One jitted program per shape bucket that extracts EVERY window,
+    runs the model over them as one batch, and stitches with static
+    scatter-adds — a single device dispatch per image instead of one
+    per window (the relay's ~80 ms dispatch latency makes eager
+    window loops ~100x slower; on any TPU the batched form also fills
+    the chip far better than crop-sized calls)."""
+    predict_fn = _PREDICT_REGISTRY[predict_id]
+    pad_h = max(crop - h, 0)
+    pad_w = max(crop - w, 0)
+    ph, pw = h + pad_h, w + pad_w
+    grid = _grid_positions(ph, pw, crop, stride)
+
+    @jax.jit
+    def run(variables, image):  # image (1, h, w, ch)
+        padded = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        windows = jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(padded, (0, y0, x0, 0), (1, crop, crop, ch))
+                for (y0, x0) in grid
+            ],
+            axis=0,
+        )  # (n_windows, crop, crop, ch)
+        logits = predict_fn(variables, windows).astype(jnp.float32)
+        canvas = jnp.zeros((ph, pw, nclass), jnp.float32)
+        count = jnp.zeros((ph, pw, 1), jnp.float32)
+        for i, (y0, x0) in enumerate(grid):
+            canvas = canvas.at[y0 : y0 + crop, x0 : x0 + crop].add(logits[i])
+            count = count.at[y0 : y0 + crop, x0 : x0 + crop].add(1.0)
+        return (canvas / jnp.maximum(count, 1.0))[None, :h, :w]
+
+    return run
+
+
+# id(predict_fn) -> predict_fn, so the lru_cache key stays hashable
+_PREDICT_REGISTRY: dict = {}
+
+
 def predict_sliding(
     predict_fn: Callable,
     variables,
@@ -40,41 +91,19 @@ def predict_sliding(
     nclass: int,
     stride_ratio: float = 2.0 / 3.0,
 ) -> jax.Array:
-    """Static-grid sliding-window logits with count-normalised stitching."""
-    n, h, w, _ = image.shape
+    """Batched sliding-window logits with count-normalised stitching.
+
+    Compiles one program per (image-shape, crop) bucket; all windows of
+    an image run as a single batched forward."""
+    n, h, w, ch = image.shape
     stride = int(math.ceil(crop_size * stride_ratio))
-    pad_h = max(crop_size - h, 0)
-    pad_w = max(crop_size - w, 0)
-    padded = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    ph, pw = padded.shape[1:3]
-    rows = max(int(math.ceil((ph - crop_size) / stride)) + 1, 1)
-    cols = max(int(math.ceil((pw - crop_size) / stride)) + 1, 1)
-    canvas = jnp.zeros((n, ph, pw, nclass), jnp.float32)
-    count = jnp.zeros((1, ph, pw, 1), jnp.float32)
-    for r in range(rows):
-        for c in range(cols):
-            y0 = min(r * stride, ph - crop_size)
-            x0 = min(c * stride, pw - crop_size)
-            window = jax.lax.dynamic_slice(
-                padded, (0, y0, x0, 0), (n, crop_size, crop_size, image.shape[-1])
-            )
-            logits = predict_fn(variables, window).astype(jnp.float32)
-            canvas = jax.lax.dynamic_update_slice(
-                canvas,
-                jax.lax.dynamic_slice(
-                    canvas, (0, y0, x0, 0), (n, crop_size, crop_size, nclass)
-                )
-                + logits,
-                (0, y0, x0, 0),
-            )
-            count = jax.lax.dynamic_update_slice(
-                count,
-                jax.lax.dynamic_slice(count, (0, y0, x0, 0), (1, crop_size, crop_size, 1))
-                + 1.0,
-                (0, y0, x0, 0),
-            )
-    stitched = canvas / jnp.maximum(count, 1.0)
-    return stitched[:, :h, :w]
+    _PREDICT_REGISTRY[id(predict_fn)] = predict_fn
+    run = _sliding_fn(id(predict_fn), h, w, ch, crop_size, stride, nclass)
+    if n == 1:
+        return run(variables, image)
+    return jnp.concatenate(
+        [run(variables, image[i : i + 1]) for i in range(n)], axis=0
+    )
 
 
 def multi_scale_predict(
