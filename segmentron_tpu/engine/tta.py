@@ -106,18 +106,10 @@ def predict_sliding(
     )
 
 
-def multi_scale_predict(
-    predict_fn: Callable,
-    variables,
-    image: jax.Array,
-    nclass: int,
-    scales: Sequence[float] = (1.0,),
-    flip: bool = False,
-    crop_size: Optional[int] = None,
-    align_corners: bool = True,
-) -> jax.Array:
-    """Accumulated softmax probabilities over scales (+ flip) at source
-    resolution: (1, H, W, C)."""
+def _multi_scale_body(
+    predict_fn, variables, image, nclass, scales, flip, crop_size,
+    align_corners,
+):
     n, h, w, _ = image.shape
     total = jnp.zeros((n, h, w, nclass), jnp.float32)
     for s in scales:
@@ -142,3 +134,41 @@ def multi_scale_predict(
                 probs = resize_bilinear(probs, (h, w), align_corners=align_corners)
             total = total + probs
     return total
+
+
+@functools.lru_cache(maxsize=64)
+def _ms_fn(predict_id, nclass, scales, flip, crop_size, align_corners):
+    predict_fn = _PREDICT_REGISTRY[predict_id]
+
+    @jax.jit
+    def run(variables, image):
+        return _multi_scale_body(
+            predict_fn, variables, image, nclass, list(scales), flip,
+            crop_size, align_corners,
+        )
+
+    return run
+
+
+def multi_scale_predict(
+    predict_fn: Callable,
+    variables,
+    image: jax.Array,
+    nclass: int,
+    scales: Sequence[float] = (1.0,),
+    flip: bool = False,
+    crop_size: Optional[int] = None,
+    align_corners: bool = True,
+) -> jax.Array:
+    """Accumulated softmax probabilities over scales (+ flip) at source
+    resolution: (1, H, W, C).
+
+    The full accumulation (resizes, forwards, sliding windows, softmax
+    sums) compiles into ONE program per (image shape, scales, flip,
+    crop) bucket — a single device dispatch per image."""
+    _PREDICT_REGISTRY[id(predict_fn)] = predict_fn
+    run = _ms_fn(
+        id(predict_fn), nclass, tuple(scales), bool(flip),
+        int(crop_size) if crop_size else None, bool(align_corners),
+    )
+    return run(variables, image)
