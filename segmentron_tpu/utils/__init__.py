@@ -16,4 +16,4 @@ from .env import seed_all_rng, collect_env_info
 from .flops import count_params, model_flops, show_flops_params
 from .filesystem import makedirs
 from .options import parse_args
-from .visualize import get_color_pallete
+from .visualize import get_color_pallete, show_colorful_images

@@ -106,3 +106,15 @@ def get_color_pallete(npimg: np.ndarray, dataset: str = "pascal_voc"):
     else:
         out_img.putpalette(vocpallete)
     return out_img
+
+
+def show_colorful_images(prediction: np.ndarray, dataset: str = "pascal_voc",
+                         path: str = None):
+    """Colorize a prediction mask and show/save it (reference:
+    ``segmentron/utils/visualize.py::show_colorful_images``)."""
+    img = get_color_pallete(np.asarray(prediction).squeeze(), dataset)
+    if path:
+        img.save(path)
+    else:  # pragma: no cover - interactive
+        img.show()
+    return img
