@@ -23,6 +23,7 @@ __all__ = [
     "t2j_bn",
     "load_torch_state_dict",
     "convert_resnet_state",
+    "convert_mobilenet_state",
     "resnet_state_from_flax",
     "load_backbone_pretrained",
 ]
@@ -171,6 +172,65 @@ def resnet_state_from_flax(params, batch_stats) -> Dict[str, np.ndarray]:
     return state
 
 
+# MobileNetV2 inverted-residual plan: (expand_ratio, repeats) per stage —
+# must match backbones/mobilenet._SETTINGS.
+_MBV2_PLAN = ((1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1))
+
+
+def convert_mobilenet_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a torchvision MobileNetV2 ``state_dict`` onto the flax
+    backbone tree (scopes: stem{conv,bn}, block{si}_{bi}{expand,
+    depthwise, project, project_bn}). The classifier head and the final
+    1280-ch conv (features.18) are dropped — the seg backbone ends at
+    the 320-ch stage."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # stem: features.0.{0,1}
+    params["stem"] = {
+        "conv": {"kernel": t2j_conv_kernel(state["features.0.0.weight"])},
+    }
+    p, s = _bn_entries(state, "features.0.1")
+    params["stem"]["bn"] = p
+    stats["stem"] = {"bn": s}
+
+    feat_idx = 1
+    for si, (t, n) in enumerate(_MBV2_PLAN):
+        for bi in range(n):
+            scope = f"block{si}_{bi}"
+            tp = f"features.{feat_idx}.conv"
+            feat_idx += 1
+            params[scope] = {}
+            stats[scope] = {}
+            if t != 1:
+                params[scope]["expand"] = {
+                    "conv": {
+                        "kernel": t2j_conv_kernel(state[f"{tp}.0.0.weight"])
+                    },
+                }
+                bp, bs = _bn_entries(state, f"{tp}.0.1")
+                params[scope]["expand"]["bn"] = bp
+                stats[scope]["expand"] = {"bn": bs}
+                dw = f"{tp}.1"
+                proj_conv, proj_bn = f"{tp}.2", f"{tp}.3"
+            else:
+                dw = f"{tp}.0"
+                proj_conv, proj_bn = f"{tp}.1", f"{tp}.2"
+            params[scope]["depthwise"] = {
+                "conv": {"kernel": t2j_conv_kernel(state[dw + ".0.weight"])},
+            }
+            bp, bs = _bn_entries(state, dw + ".1")
+            params[scope]["depthwise"]["bn"] = bp
+            stats[scope]["depthwise"] = {"bn": bs}
+            params[scope]["project"] = {
+                "kernel": t2j_conv_kernel(state[proj_conv + ".weight"])
+            }
+            bp, bs = _bn_entries(state, proj_bn)
+            params[scope]["project_bn"] = bp
+            stats[scope]["project_bn"] = bs
+    return {"params": params, "batch_stats": stats}
+
+
 _RESNET_LAYERS = {
     "resnet18": (2, 2, 2, 2),
     "resnet34": (3, 4, 6, 3),
@@ -187,11 +247,15 @@ def load_backbone_pretrained(variables, backbone: str, path: str):
     from .logger import get_logger
 
     logger = get_logger()
-    if backbone not in _RESNET_LAYERS:
+    if backbone in _RESNET_LAYERS:
+        state = load_torch_state_dict(path)
+        tree = convert_resnet_state(state, _RESNET_LAYERS[backbone])
+    elif backbone == "mobilenet_v2":
+        state = load_torch_state_dict(path)
+        tree = convert_mobilenet_state(state)
+    else:
         logger.warning("No torch->jax converter for backbone %r yet", backbone)
         return variables
-    state = load_torch_state_dict(path)
-    tree = convert_resnet_state(state, _RESNET_LAYERS[backbone])
 
     def merge(dst, src):
         out = dict(dst)

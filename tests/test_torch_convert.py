@@ -118,3 +118,67 @@ def test_load_backbone_pretrained_merges(fresh_cfg, tmp_path):
     head_before = jax.tree.leaves(variables["params"]["head"])[0]
     head_after = jax.tree.leaves(new_vars["params"]["head"])[0]
     np.testing.assert_allclose(np.asarray(head_before), np.asarray(head_after))
+
+
+def _fake_torchvision_mobilenet_v2_state():
+    def make_div(v, d=8):
+        nv = max(d, int(v + d / 2) // d * d)
+        if nv < 0.9 * v:
+            nv += d
+        return nv
+
+    state = {}
+
+    def conv(name, o, i, k, groups=1):
+        state[name + ".weight"] = np.random.RandomState(len(state)).randn(
+            o, i // groups, k, k
+        ).astype(np.float32)
+
+    def bn(name, c):
+        state[name + ".weight"] = np.ones(c, np.float32)
+        state[name + ".bias"] = np.zeros(c, np.float32)
+        state[name + ".running_mean"] = np.zeros(c, np.float32)
+        state[name + ".running_var"] = np.ones(c, np.float32)
+
+    settings = ((1, 16, 1), (6, 24, 2), (6, 32, 3), (6, 64, 4), (6, 96, 3),
+                (6, 160, 3), (6, 320, 1))
+    conv("features.0.0", 32, 3, 3)
+    bn("features.0.1", 32)
+    in_ch, fi = 32, 1
+    for (t, c, n) in settings:
+        out = make_div(c)
+        for _ in range(n):
+            p = f"features.{fi}.conv"
+            fi += 1
+            hid = in_ch * t
+            if t != 1:
+                conv(p + ".0.0", hid, in_ch, 1)
+                bn(p + ".0.1", hid)
+                conv(p + ".1.0", hid, hid, 3, groups=hid)
+                bn(p + ".1.1", hid)
+                conv(p + ".2", out, hid, 1)
+                bn(p + ".3", out)
+            else:
+                conv(p + ".0.0", hid, hid, 3, groups=hid)
+                bn(p + ".0.1", hid)
+                conv(p + ".1", out, hid, 1)
+                bn(p + ".2", out)
+            in_ch = out
+    return state
+
+
+def test_convert_mobilenet_v2_matches_flax_tree(fresh_cfg):
+    import jax
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.modules.batch_norm import NormConfig
+    from segmentron_tpu.utils.torch_convert import convert_mobilenet_state
+
+    tree = convert_mobilenet_state(_fake_torchvision_mobilenet_v2_state())
+    bb = get_segmentation_backbone("mobilenet_v2", NormConfig())
+    v = bb.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    init_p = jax.tree.map(lambda a: a.shape, v["params"])
+    conv_p = jax.tree.map(lambda a: a.shape, tree["params"])
+    assert conv_p == init_p
+    init_s = jax.tree.map(lambda a: a.shape, v["batch_stats"])
+    conv_s = jax.tree.map(lambda a: a.shape, tree["batch_stats"])
+    assert conv_s == init_s
