@@ -119,11 +119,11 @@ class SeparableConv2d(nn.Module):
     aligned-Xception block ordering (dw -> BN -> pw -> BN), with an
     optional ReLU between dw-BN and pw as in the decoder blocks.
 
-    Inference fast path: when eval-mode on TPU with plain/sync/frozen BN
-    and a stride-1 3x3, the whole block runs as ONE fused Pallas kernel
-    (``ops.sepconv``) with both BNs folded — the depthwise intermediate
-    never touches HBM (this model family measures HBM-bound; see
-    BASELINE.md). Toggle with ``cfg.TPU.USE_PALLAS``.
+    Inference fast path (default OFF, ``cfg.TPU.USE_PALLAS_SEPCONV``):
+    eval-mode stride-1 3x3 blocks with plain/sync/frozen BN can run as
+    one fused Pallas kernel (``ops.sepconv``) with both BNs folded.
+    Model-level measurement showed XLA's conv path is faster on v5e
+    (BASELINE.md), so the kernel is a reference implementation.
     """
 
     features: int
