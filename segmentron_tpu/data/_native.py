@@ -17,7 +17,12 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["native_lib", "fused_resize_normalize", "resize_nearest_i32"]
+__all__ = [
+    "native_lib",
+    "fused_resize_normalize",
+    "resize_nearest_i32",
+    "remap_labels",
+]
 
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -96,6 +101,18 @@ def fused_resize_normalize(
     img = Image.fromarray(src).resize((dw, dh), Image.BILINEAR)
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - mean) / std
+
+
+def remap_labels(src: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """uint8 raw-label image -> int32 train ids through a 256-entry LUT."""
+    src = np.ascontiguousarray(src, np.uint8)
+    lut = np.ascontiguousarray(lut, np.int32)
+    lib = native_lib()
+    if lib is not None:
+        dst = np.empty(src.shape, np.int32)
+        lib.remap_labels_u8(src.reshape(-1), src.size, lut, dst.reshape(-1))
+        return dst
+    return lut[src]
 
 
 def resize_nearest_i32(src: np.ndarray, out_hw) -> np.ndarray:

@@ -60,8 +60,12 @@ class CitySegmentation(SegmentationDataset):
         return len(self.images)
 
     def _mask_transform(self, mask: Image.Image) -> np.ndarray:
-        raw = np.asarray(mask, np.int64)
-        return _LUT[np.clip(raw, 0, 255)].astype(np.int32)
+        raw = np.asarray(mask)
+        if raw.dtype == np.uint8:
+            from .._native import remap_labels
+
+            return remap_labels(raw, _LUT)  # native LUT pass (OpenMP)
+        return _LUT[np.clip(raw.astype(np.int64), 0, 255)].astype(np.int32)
 
     def __getitem__(self, index: int):
         img = Image.open(self.images[index]).convert("RGB")

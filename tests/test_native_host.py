@@ -65,3 +65,13 @@ def test_fallback_path_works(monkeypatch):
     np.testing.assert_allclose(out, -1.0)
     m = nat.resize_nearest_i32(np.ones((8, 8), np.int32), (4, 4))
     np.testing.assert_array_equal(m, 1)
+
+
+def test_remap_labels_matches_numpy():
+    from segmentron_tpu.data._native import remap_labels
+
+    rng = np.random.RandomState(2)
+    src = rng.randint(0, 256, (37, 53), np.uint8)
+    lut = rng.randint(-1, 19, (256,)).astype(np.int32)
+    out = remap_labels(src, lut)
+    np.testing.assert_array_equal(out, lut[src])
