@@ -243,12 +243,29 @@ class Trainer:
     # ------------------------------------------------------------------
     def validate(self):
         metric = SegmentationMetric(self.nclass)
+        full = None
         for batch in self.val_loader:
+            images, masks = batch["image"], batch["mask"]
+            n = images.shape[0]
+            if full is None:
+                # first batch fixes the compiled shape: round up to a
+                # mesh multiple
+                full = -(-n // self.mesh.size) * self.mesh.size
+            if n != full:
+                # shard_map needs the batch divisible by the mesh: pad
+                # the ragged tail and mark the padding ignore (-1), so
+                # it contributes nothing to the confusion matrix.
+                pad = full - n
+                images = np.concatenate(
+                    [np.asarray(images),
+                     np.zeros((pad,) + images.shape[1:], np.float32)], 0
+                )
+                masks = np.concatenate(
+                    [np.asarray(masks),
+                     np.full((pad,) + masks.shape[1:], -1, np.int32)], 0
+                )
             cm = self.eval_step(
-                self.state.params,
-                self.state.batch_stats,
-                batch["image"],
-                batch["mask"],
+                self.state.params, self.state.batch_stats, images, masks
             )
             metric.update_cm(cm)
         return metric.get()

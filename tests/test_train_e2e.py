@@ -65,3 +65,14 @@ def test_evaluator_tta_runs(smoke_cfg):
     assert 0.0 <= pix_acc <= 1.0
     assert len(cat_iou) == 19
     assert ev.metric.class_histogram().sum() > 0
+
+
+def test_validate_handles_ragged_last_batch(smoke_cfg):
+    """Cityscapes-val-style ragged tails (dataset % batch != 0) must be
+    padded with ignore pixels, not crash the sharded eval step."""
+    from segmentron_tpu.engine import Trainer
+
+    trainer = Trainer()
+    trainer.val_dataset.length = 10  # batches of 8 -> [8, 2(ragged)]
+    pix_acc, miou = trainer.validate()
+    assert 0.0 <= pix_acc <= 1.0 and 0.0 <= miou <= 1.0
