@@ -44,6 +44,12 @@ class Trainer:
         )
         self.batch_sharding = batch_sharding(self.mesh)
         self.replicated = replicate_sharding(self.mesh)
+        if cfg.TRAIN.BATCH_SIZE % self.mesh.size != 0:
+            raise ValueError(
+                f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must be divisible "
+                f"by the device-mesh size ({self.mesh.size}) — the batch is "
+                "sharded over the 'data' axis"
+            )
 
         # ------------------------------------------------------- data
         data_kwargs = dict(
@@ -70,7 +76,9 @@ class Trainer:
             self.val_dataset,
             batch_size=val_bs,
             shuffle=False,
-            drop_last=True,  # static shapes for the sharded eval step
+            # keep the ragged tail: validate() pads it with ignore
+            # pixels, so every val image counts (histogram parity)
+            drop_last=False,
             num_workers=cfg.DATASET.WORKERS,
             prefetch=cfg.TPU.PREFETCH,
             sharding=self.batch_sharding,
