@@ -89,10 +89,17 @@ class DataLoader:
 
     def _to_device(self, batch: dict) -> dict:
         names = batch.pop("name")
-        if self.sharding is not None:
-            batch = {
-                k: jax.device_put(v, self.sharding) for k, v in batch.items()
-            }
+        sharding = self.sharding
+        if sharding is not None:
+            n = next(iter(batch.values())).shape[0]
+            n_dev = getattr(sharding, "mesh", None)
+            n_dev = n_dev.size if n_dev is not None else 1
+            if n % max(n_dev, 1) != 0:
+                # ragged tail can't shard evenly; leave it on the host
+                # default device — consumers (Trainer.validate) pad it.
+                sharding = None
+        if sharding is not None:
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         else:
             batch = {k: jax.device_put(v) for k, v in batch.items()}
         batch["name"] = names
