@@ -139,6 +139,30 @@ def _attention_pallas(
     return out[:, :p, :dv]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_pallas_diff(q, k, v, scale):
+    """Pallas forward with an XLA-derived backward: pallas_call has no
+    autodiff rule, so the VJP re-linearizes the mathematically identical
+    einsum implementation at the saved inputs. Training therefore
+    materializes the (P x P) affinity only in the backward pass —
+    exactly the reference's torch memory behavior — while inference
+    stays blockwise."""
+    return _attention_pallas(q, k, v, scale=scale)
+
+
+def _attention_pallas_diff_fwd(q, k, v, scale):
+    return _attention_pallas(q, k, v, scale=scale), (q, k, v)
+
+
+def _attention_pallas_diff_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _attention_xla(a, b, c, scale), q, k, v)
+    return vjp(g)
+
+
+_attention_pallas_diff.defvjp(_attention_pallas_diff_fwd, _attention_pallas_diff_bwd)
+
+
 def spatial_attention(
     q: jax.Array,
     k: jax.Array,
@@ -150,12 +174,13 @@ def spatial_attention(
     """Affinity attention over flattened spatial positions.
 
     q, k: (N, P, Dk); v: (N, P, Dv) -> (N, P, Dv). Zero-padded key rows
-    are masked to -inf inside the kernel, so any P works.
+    are masked to -inf inside the kernel, so any P works. Differentiable
+    (custom VJP backs the Pallas path).
     """
     p = q.shape[1]
     # TPU platforms: "tpu" natively; "axon" when reached through the
     # relay plugin in this container — both run Mosaic.
     backend = jax.default_backend()
     if use_pallas and backend in ("tpu", "axon") and p >= min_seq_for_pallas:
-        return _attention_pallas(q, k, v, scale=float(scale))
+        return _attention_pallas_diff(q, k, v, float(scale))
     return _attention_xla(q, k, v, float(scale))

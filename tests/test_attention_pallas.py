@@ -26,3 +26,35 @@ def test_flash_attention_matches_xla(p, dk, dv, scale):
                           interpret=True)
     )
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_attention_gradients_match_xla(monkeypatch):
+    """The custom VJP (Pallas fwd + XLA-linearized bwd) must produce the
+    same gradients as differentiating the einsum path directly."""
+    import jax
+    import jax.numpy as jnp
+    import segmentron_tpu.ops.attention as att
+
+    # route the diff'd op through the interpreted kernel on CPU
+    real = att._attention_pallas
+    monkeypatch.setattr(
+        att, "_attention_pallas",
+        lambda q, k, v, scale, **kw: real(q, k, v, scale=scale, interpret=True),
+    )
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 300, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 300, 16), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 300, 16), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return att._attention_pallas_diff(q, k, v, 0.25).sum()
+
+    def loss_xla(q, k, v):
+        return att._attention_xla(q, k, v, 0.25).sum()
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
