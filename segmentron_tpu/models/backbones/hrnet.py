@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Dict, List, Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ...modules.basic import ConvBNReLU, conv2d
 from ...modules.batch_norm import NormConfig

@@ -13,11 +13,9 @@ are interchangeable.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ...modules.basic import ConvBNReLU, conv2d
 from ...modules.batch_norm import NormConfig
