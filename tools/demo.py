@@ -47,7 +47,9 @@ def main():
                 "params": restored["params"],
                 "batch_stats": restored.get("batch_stats", {}) or {},
             }
-    predict = make_predict_fn(model)
+    predict = make_predict_fn(
+        model, compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+    )
     logits = predict(template, x)
     pred = np.asarray(jnp.argmax(logits[0], -1))
 
