@@ -42,7 +42,8 @@ def _attention_xla(q, k, v, scale: float):
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, nk, p_real, block_k
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *,
+    scale, nk, p_real, block_k
 ):
     kb = pl.program_id(2)
 
@@ -75,6 +76,11 @@ def _flash_kernel(
     @pl.when(kb == nk - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        # logsumexp per query row — the only residual the flash
+        # backward needs besides (q, k, v, o). Broadcast across the
+        # 128-lane dim (Mosaic block shapes must be lane-aligned).
+        lse = m_ref[:] + jnp.log(l_ref[:])  # (BQ, 1)
+        lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
 
 
 def _pad_to(x, size: int, axis: int):
@@ -105,7 +111,7 @@ def _attention_pallas(
     nq = p_pad // block_q
     nk = p_pad // block_k
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, nk=nk, p_real=p, block_k=block_k
         ),
@@ -124,11 +130,20 @@ def _attention_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, dv_pad), lambda b, i, j: (b, i, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, block_q, dv_pad), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q, 128), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, p_pad, dv_pad), v.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, p_pad, dv_pad), v.dtype),
+            jax.ShapeDtypeStruct((n, p_pad, 128), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, dv_pad), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -136,28 +151,180 @@ def _attention_pallas(
         ],
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :p, :dv]
+    return out[:, :p, :dv], lse[:, :p, 0]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, nk
+):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]  # (BQ, 1) — lane-broadcast storage
+    delta = delta_ref[0][:, :1]  # (BQ, 1)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)  # padded keys: k rows are zero, so their
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)  # contribution to dq (ds @ k) vanishes
+    dq_ref[0] = dq_ref[0] + (
+        jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
+    scale, nq
+):
+    ib = pl.program_id(2)
+
+    @pl.when(ib == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)  # zero rows for padded queries
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)  # (BQ, BK)
+    dv_ref[0] = dv_ref[0] + jnp.dot(
+        p.T, do, preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_ref[0] = dk_ref[0] + (
+        jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+    ).astype(dk_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _attention_pallas_bwd(
+    q, k, v, do, o, lse, scale: float, block_q: int = 512,
+    block_k: int = 512, interpret: bool = False,
+):
+    """Flash backward: (dq, dk, dv) without materializing (P x P).
+
+    ``delta_i = rowsum(dO_i * O_i)`` is computed in XLA (elementwise);
+    the dq pass runs grid (n, i, j) accumulating per-i blocks, and the
+    dk/dv pass runs grid (n, j, i) accumulating per-j blocks."""
+    n, p, dk_dim = q.shape
+    dv_dim = v.shape[-1]
+    p_pad = -(-p // max(block_q, block_k)) * max(block_q, block_k)
+    dk_pad = max(-(-dk_dim // 128) * 128, 128)
+    dv_pad = max(-(-dv_dim // 128) * 128, 128)
+    qp = _pad_to(_pad_to(q, p_pad, 1), dk_pad, 2)
+    kp = _pad_to(_pad_to(k, p_pad, 1), dk_pad, 2)
+    vp = _pad_to(_pad_to(v, p_pad, 1), dv_pad, 2)
+    dop = _pad_to(_pad_to(do, p_pad, 1), dv_pad, 2)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (n, p)
+    # lane-broadcast per-row scalars to 128 so blocks are tile-aligned
+    lsep = jnp.broadcast_to(
+        _pad_to(lse, p_pad, 1)[..., None], (n, p_pad, 128)
+    )
+    deltap = jnp.broadcast_to(
+        _pad_to(delta, p_pad, 1)[..., None], (n, p_pad, 128)
+    )
+    nq = p_pad // block_q
+    nk = p_pad // block_k
+    f32 = jnp.float32
+
+    def spec_q(*block):
+        return pl.BlockSpec(block, lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_k(*block):
+        return pl.BlockSpec(block, lambda b, i, j: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, nk=nk),
+        grid=(n, nq, nk),
+        in_specs=[
+            spec_q(1, block_q, dk_pad),
+            spec_k(1, block_k, dk_pad),
+            spec_k(1, block_k, dv_pad),
+            spec_q(1, block_q, dv_pad),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec_q(1, block_q, dk_pad),
+        out_shape=jax.ShapeDtypeStruct((n, p_pad, dk_pad), f32),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    # dk/dv pass: swap the roles — grid (n, j, i), j-indexed outputs
+    def spec_j(*block):  # fixed per j (second grid dim)
+        return pl.BlockSpec(block, lambda b, j, i: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_i(*block):
+        return pl.BlockSpec(block, lambda b, j, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, nq=nq),
+        grid=(n, nk, nq),
+        in_specs=[
+            spec_i(1, block_q, dk_pad),
+            spec_j(1, block_k, dk_pad),
+            spec_j(1, block_k, dv_pad),
+            spec_i(1, block_q, dv_pad),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, j, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            spec_j(1, block_k, dk_pad),
+            spec_j(1, block_k, dv_pad),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, p_pad, dk_pad), f32),
+            jax.ShapeDtypeStruct((n, p_pad, dv_pad), f32),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    return (
+        dq[:, :p, :dk_dim].astype(q.dtype),
+        dk[:, :p, :dk_dim].astype(k.dtype),
+        dv[:, :p, :dv_dim].astype(v.dtype),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _attention_pallas_diff(q, k, v, scale):
-    """Pallas forward with an XLA-derived backward: pallas_call has no
-    autodiff rule, so the VJP re-linearizes the mathematically identical
-    einsum implementation at the saved inputs. Training therefore
-    materializes the (P x P) affinity only in the backward pass —
-    exactly the reference's torch memory behavior — while inference
-    stays blockwise."""
-    return _attention_pallas(q, k, v, scale=scale)
+    """Fully-blockwise differentiable attention: flash forward (online
+    softmax) + flash backward (dq / dkv passes over key/query blocks) —
+    the (P x P) affinity never materializes in either direction, so
+    DANet/OCNet *training* also fits HBM at full resolution."""
+    return _attention_pallas(q, k, v, scale=scale)[0]
 
 
 def _attention_pallas_diff_fwd(q, k, v, scale):
-    return _attention_pallas(q, k, v, scale=scale), (q, k, v)
+    out, lse = _attention_pallas(q, k, v, scale=scale)
+    return out, (q, k, v, out, lse)
 
 
 def _attention_pallas_diff_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _attention_xla(a, b, c, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _attention_pallas_bwd(q, k, v, g, out, lse, scale)
 
 
 _attention_pallas_diff.defvjp(_attention_pallas_diff_fwd, _attention_pallas_diff_bwd)

@@ -21,25 +21,39 @@ def test_flash_attention_matches_xla(p, dk, dv, scale):
     v = rng.randn(2, p, dv).astype(np.float32)
 
     ref = np.asarray(_attention_xla(q, k, v, scale))
-    out = np.asarray(
-        _attention_pallas(q, k, v, scale=scale, block_q=256, block_k=256,
-                          interpret=True)
+    out, lse = _attention_pallas(
+        q, k, v, scale=scale, block_q=256, block_k=256, interpret=True
     )
-    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+    # lse must equal the dense logsumexp of the scaled affinity
+    energy = np.einsum("npc,nqc->npq", q, k) * scale
+    ref_lse = np.log(np.exp(energy - energy.max(-1, keepdims=True)).sum(-1)) \
+        + energy.max(-1)
+    np.testing.assert_allclose(np.asarray(lse)[:, :p], ref_lse,
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_attention_gradients_match_xla(monkeypatch):
-    """The custom VJP (Pallas fwd + XLA-linearized bwd) must produce the
+    """The custom VJP (flash fwd + flash bwd kernels) must produce the
     same gradients as differentiating the einsum path directly."""
     import jax
     import jax.numpy as jnp
     import segmentron_tpu.ops.attention as att
 
-    # route the diff'd op through the interpreted kernel on CPU
-    real = att._attention_pallas
+    # route both directions through the interpreted kernels on CPU
+    real_fwd = att._attention_pallas
+    real_bwd = att._attention_pallas_bwd
     monkeypatch.setattr(
         att, "_attention_pallas",
-        lambda q, k, v, scale, **kw: real(q, k, v, scale=scale, interpret=True),
+        lambda q, k, v, scale, **kw: real_fwd(
+            q, k, v, scale=scale, interpret=True
+        ),
+    )
+    monkeypatch.setattr(
+        att, "_attention_pallas_bwd",
+        lambda q, k, v, g, o, lse, scale, **kw: real_bwd(
+            q, k, v, g, o, lse, scale, interpret=True
+        ),
     )
 
     rng = np.random.RandomState(0)
