@@ -24,6 +24,7 @@ __all__ = [
     "load_torch_state_dict",
     "convert_resnet_state",
     "convert_mobilenet_state",
+    "convert_hrnet_state",
     "resnet_state_from_flax",
     "load_backbone_pretrained",
 ]
@@ -231,6 +232,110 @@ def convert_mobilenet_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_hrnet_state(state: Dict[str, np.ndarray], spec: dict) -> Dict[str, Any]:
+    """Map an official HRNet-Image-Classification ``state_dict`` onto the
+    flax backbone tree (scopes: stem1/stem2, layer1_{k},
+    transition{s}_{b}, stage{s}_module{m}.{branch{b}_block{k},
+    fuse{i}_{j}[_down{k}]_{conv,bn}}). The classifier head (incre/
+    downsamp/final/classifier modules) is dropped."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_cbr(scope, conv_key, bn_key):
+        p, s = _bn_entries(state, bn_key)
+        params[scope] = {
+            "conv": {"kernel": t2j_conv_kernel(state[conv_key + ".weight"])},
+            "bn": p,
+        }
+        stats[scope] = {"bn": s}
+
+    def block_tree(tp, n_convs):
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        for j in range(1, n_convs + 1):
+            bp[f"conv{j}"] = {"kernel": t2j_conv_kernel(state[f"{tp}.conv{j}.weight"])}
+            p, s = _bn_entries(state, f"{tp}.bn{j}")
+            bp[f"bn{j}"] = p
+            bs[f"bn{j}"] = s
+        if f"{tp}.downsample.0.weight" in state:
+            bp["downsample_conv"] = {
+                "kernel": t2j_conv_kernel(state[f"{tp}.downsample.0.weight"])
+            }
+            p, s = _bn_entries(state, f"{tp}.downsample.1")
+            bp["downsample_bn"] = p
+            bs["downsample_bn"] = s
+        return bp, bs
+
+    put_cbr("stem1", "conv1", "bn1")
+    put_cbr("stem2", "conv2", "bn2")
+
+    # stage 1: single bottleneck branch
+    _, _, blk1, n_blocks1, _ = spec["stage1"]
+    n_convs1 = 3 if blk1 == "BOTTLENECK" else 2
+    for k in range(n_blocks1[0]):
+        bp, bs = block_tree(f"layer1.{k}", n_convs1)
+        params[f"layer1_{k}"] = bp
+        stats[f"layer1_{k}"] = bs
+
+    prev_branches = 1
+    for sidx, key in enumerate(("stage2", "stage3", "stage4"), start=2):
+        n_mod, n_br, blk, n_blocks, _ = spec[key]
+        n_convs = 3 if blk == "BOTTLENECK" else 2
+        ttp = f"transition{sidx - 1}"
+        for b in range(n_br):
+            scope = f"transition{sidx}_{b}"
+            if b < prev_branches:
+                conv_key = f"{ttp}.{b}.0"
+                bn_key = f"{ttp}.{b}.1"
+                if conv_key + ".weight" not in state:
+                    continue  # identity transition (channels matched)
+            else:
+                # new branch: nested Sequential
+                conv_key = f"{ttp}.{b}.0.0"
+                bn_key = f"{ttp}.{b}.0.1"
+            put_cbr(scope, conv_key, bn_key)
+        prev_branches = n_br
+
+        for m in range(n_mod):
+            mtp = f"{key}.{m}"
+            mscope = f"{key}_module{m}"
+            mp: Dict[str, Any] = {}
+            ms: Dict[str, Any] = {}
+            for b in range(n_br):
+                for k in range(n_blocks[b]):
+                    bp, bs = block_tree(f"{mtp}.branches.{b}.{k}", n_convs)
+                    mp[f"branch{b}_block{k}"] = bp
+                    ms[f"branch{b}_block{k}"] = bs
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j > i:
+                        ck = f"{mtp}.fuse_layers.{i}.{j}.0"
+                        bk = f"{mtp}.fuse_layers.{i}.{j}.1"
+                        if ck + ".weight" not in state:
+                            continue
+                        mp[f"fuse{i}_{j}_conv"] = {
+                            "kernel": t2j_conv_kernel(state[ck + ".weight"])
+                        }
+                        p, s = _bn_entries(state, bk)
+                        mp[f"fuse{i}_{j}_bn"] = p
+                        ms[f"fuse{i}_{j}_bn"] = s
+                    elif j < i:
+                        for k in range(i - j):
+                            ck = f"{mtp}.fuse_layers.{i}.{j}.{k}.0"
+                            bk = f"{mtp}.fuse_layers.{i}.{j}.{k}.1"
+                            if ck + ".weight" not in state:
+                                continue
+                            mp[f"fuse{i}_{j}_down{k}_conv"] = {
+                                "kernel": t2j_conv_kernel(state[ck + ".weight"])
+                            }
+                            p, s = _bn_entries(state, bk)
+                            mp[f"fuse{i}_{j}_down{k}_bn"] = p
+                            ms[f"fuse{i}_{j}_down{k}_bn"] = s
+            params[mscope] = mp
+            stats[mscope] = ms
+    return {"params": params, "batch_stats": stats}
+
+
 _RESNET_LAYERS = {
     "resnet18": (2, 2, 2, 2),
     "resnet34": (3, 4, 6, 3),
@@ -253,6 +358,11 @@ def load_backbone_pretrained(variables, backbone: str, path: str):
     elif backbone == "mobilenet_v2":
         state = load_torch_state_dict(path)
         tree = convert_mobilenet_state(state)
+    elif backbone.startswith("hrnet"):
+        from ..models.backbones.hrnet import HRNET_SPECS
+
+        state = load_torch_state_dict(path)
+        tree = convert_hrnet_state(state, HRNET_SPECS[backbone])
     else:
         logger.warning("No torch->jax converter for backbone %r yet", backbone)
         return variables
