@@ -147,8 +147,6 @@ cfg.TPU = SegmentronConfig()
 cfg.TPU.MESH_SHAPE = []  # [] -> 1-D data mesh over all devices
 cfg.TPU.MESH_AXES = ["data"]
 cfg.TPU.COMPUTE_DTYPE = "float32"  # float32 | bfloat16
-cfg.TPU.PARAM_DTYPE = "float32"
-cfg.TPU.REMAT = False  # jax.checkpoint on backbone stages
 cfg.TPU.PREFETCH = 2  # host->device pipeline depth
 cfg.TPU.REMAT = "none"  # activation remat: none | dots | full
 cfg.TPU.USE_PALLAS = True  # blockwise Pallas attention (enables DANet/

@@ -10,6 +10,7 @@ so environments without a toolchain keep working. Toggle with env
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -36,9 +37,22 @@ _SRC = os.path.join(
 
 
 def _build() -> Optional[str]:
-    so = _SRC.replace(".cpp", ".so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+    # Build into a source-hash-keyed cache path (never committed; see
+    # .gitignore *.so): a stale or foreign binary can't be picked up —
+    # -march=native output from another machine would SIGILL here.
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    except OSError:
+        return None
+    cache_dir = os.environ.get(
+        "SEGMENTRON_NATIVE_CACHE",
+        os.path.join(os.path.dirname(_SRC), "build"),
+    )
+    so = os.path.join(cache_dir, f"segtron_host-{digest}.so")
+    if os.path.exists(so):
         return so
+    os.makedirs(cache_dir, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
         "-o", so, _SRC,

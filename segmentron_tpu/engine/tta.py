@@ -79,8 +79,26 @@ def _sliding_fn(predict_id, h: int, w: int, ch: int, crop: int, stride: int,
     return run
 
 
-# id(predict_fn) -> predict_fn, so the lru_cache key stays hashable
+# token -> predict_fn, so the lru_cache key stays hashable. Tokens are
+# monotonic (never reused — unlike id(), which the allocator recycles
+# after GC and could silently serve a stale jitted program for a
+# different model); the strong ref here pins the predictor for the
+# lifetime of its cached executables.
 _PREDICT_REGISTRY: dict = {}
+_TOKEN_ATTR = "_segtron_tta_token"
+_token_counter = iter(range(1 << 62)).__next__
+
+
+def _predict_token(predict_fn: Callable) -> int:
+    tok = getattr(predict_fn, _TOKEN_ATTR, None)
+    if tok is None or _PREDICT_REGISTRY.get(tok) is not predict_fn:
+        tok = _token_counter()
+        try:
+            setattr(predict_fn, _TOKEN_ATTR, tok)
+        except AttributeError:
+            pass  # unsettable callable: a fresh token per call (no reuse)
+        _PREDICT_REGISTRY[tok] = predict_fn
+    return tok
 
 
 def predict_sliding(
@@ -97,8 +115,9 @@ def predict_sliding(
     an image run as a single batched forward."""
     n, h, w, ch = image.shape
     stride = int(math.ceil(crop_size * stride_ratio))
-    _PREDICT_REGISTRY[id(predict_fn)] = predict_fn
-    run = _sliding_fn(id(predict_fn), h, w, ch, crop_size, stride, nclass)
+    run = _sliding_fn(
+        _predict_token(predict_fn), h, w, ch, crop_size, stride, nclass
+    )
     if n == 1:
         return run(variables, image)
     return jnp.concatenate(
@@ -166,9 +185,8 @@ def multi_scale_predict(
     The full accumulation (resizes, forwards, sliding windows, softmax
     sums) compiles into ONE program per (image shape, scales, flip,
     crop) bucket — a single device dispatch per image."""
-    _PREDICT_REGISTRY[id(predict_fn)] = predict_fn
     run = _ms_fn(
-        id(predict_fn), nclass, tuple(scales), bool(flip),
+        _predict_token(predict_fn), nclass, tuple(scales), bool(flip),
         int(crop_size) if crop_size else None, bool(align_corners),
     )
     return run(variables, image)

@@ -43,7 +43,7 @@ def _attention_xla(q, k, v, scale: float):
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *,
-    scale, nk, p_real, block_k
+    scale, nk, p_real, p_pad, block_k
 ):
     kb = pl.program_id(2)
 
@@ -57,8 +57,11 @@ def _flash_kernel(
     k = k_ref[0]  # (BK, Dk)
     v = v_ref[0]  # (BK, Dv)
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (BQ, BK)
-    # mask zero-padded key rows (would otherwise take softmax mass)
-    if p_real % block_k != 0:
+    # mask zero-padded key rows (would otherwise take softmax mass).
+    # Gate on p_real < p_pad — NOT p_real % block_k — because padding
+    # rounds to max(block_q, block_k): with unequal blocks, p_real can
+    # be a block_k multiple yet still be padded.
+    if p_real < p_pad:
         cols = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(cols < p_real, s, _NEG_INF)
 
@@ -113,7 +116,8 @@ def _attention_pallas(
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, nk=nk, p_real=p, block_k=block_k
+            _flash_kernel, scale=scale, nk=nk, p_real=p, p_pad=p_pad,
+            block_k=block_k,
         ),
         grid=(n, nq, nk),
         in_specs=[

@@ -130,24 +130,29 @@ def lovasz_softmax_loss(outputs: Sequence, target, aux_weight: float = 0.4):
         probs = jax.nn.softmax(lf.astype(jnp.float32), axis=-1)
         c = probs.shape[-1]
         losses = []
-        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        presents = []
         for cls in range(c):
             fg = (t_safe == cls) & valid
+            # Ignored pixels get err = 0 so they sort to the tail; prefix
+            # cumsums at valid ranks therefore only ever count valid pixels
+            # and no explicit invalid-count correction is needed (positions
+            # where an ignored pixel COULD interleave have err_s == 0 and
+            # contribute nothing to the err.grad dot product).
             err = jnp.where(valid, jnp.abs(fg.astype(jnp.float32) - probs[:, cls]), 0.0)
             order = jnp.argsort(-err)
             err_s = err[order]
             fg_s = fg[order].astype(jnp.float32)
             gts = jnp.sum(fg_s)
             inter = gts - jnp.cumsum(fg_s)
-            union = gts + jnp.cumsum(1.0 - fg_s) - jnp.sum((1 - valid))
+            union = gts + jnp.cumsum(1.0 - fg_s)
             union = jnp.maximum(union, 1e-6)
             jaccard = 1.0 - inter / union
             grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
             present = gts > 0
+            presents.append(present)
             losses.append(jnp.where(present, jnp.sum(err_s * grad), 0.0))
-            del n_valid
         losses = jnp.stack(losses)
-        n_present = jnp.maximum(jnp.sum(losses > 0), 1)
+        n_present = jnp.maximum(jnp.sum(jnp.stack(presents)), 1)
         return jnp.sum(losses) / n_present
 
     loss = single(outputs[0], target)

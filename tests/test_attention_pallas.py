@@ -33,6 +33,26 @@ def test_flash_attention_matches_xla(p, dk, dv, scale):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_flash_attention_unequal_blocks_padding_mask():
+    """Regression (ADVICE r1): with block_q != block_k, padding rounds P
+    to max(block_q, block_k); when p_real is a block_k multiple but
+    still < p_pad the padded keys MUST still be masked (the old gate
+    `p_real % block_k != 0` skipped the mask here and padded keys
+    absorbed softmax mass)."""
+    from segmentron_tpu.ops.attention import _attention_pallas, _attention_xla
+
+    rng = np.random.RandomState(1)
+    p = 384  # multiple of block_k=128, padded to 512 (= block_q)
+    q = rng.randn(1, p, 32).astype(np.float32)
+    k = rng.randn(1, p, 32).astype(np.float32)
+    v = rng.randn(1, p, 32).astype(np.float32)
+    ref = np.asarray(_attention_xla(q, k, v, 1.0))
+    out, _ = _attention_pallas(
+        q, k, v, scale=1.0, block_q=256, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_attention_gradients_match_xla(monkeypatch):
     """The custom VJP (flash fwd + flash bwd kernels) must produce the
     same gradients as differentiating the einsum path directly."""

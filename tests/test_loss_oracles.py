@@ -1,0 +1,156 @@
+"""Numerical oracles for the subtle losses (VERDICT r1 items 5/ADVICE-1).
+
+The lovasz / OHEM / focal implementations in ``solver/loss.py`` handle
+ignore pixels with jit-safe masking tricks (ignored pixels sort to the
+tail with zero error; adaptive top-k cutoffs) — each is checked here
+against an independent torch/numpy reference implementation written the
+way the upstream PyTorch code (reference ``segmentron/solver/loss.py``)
+computes them.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from segmentron_tpu.solver.loss import (
+    focal_loss,
+    lovasz_softmax_loss,
+    ohem_ce_loss,
+)
+
+
+# ----------------------------------------------------------------- oracles
+def _lovasz_grad_np(gt_sorted):
+    gts = gt_sorted.sum()
+    intersection = gts - np.cumsum(gt_sorted)
+    union = gts + np.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    if len(gt_sorted) > 1:
+        jaccard[1:] = jaccard[1:] - jaccard[:-1]
+    return jaccard
+
+
+def _lovasz_softmax_np(logits, labels, ignore=-1):
+    """Berman's lovasz_softmax (classes='present', per_image=False):
+    ignored pixels are REMOVED before sorting."""
+    c = logits.shape[-1]
+    lf = logits.reshape(-1, c).astype(np.float64)
+    tf = labels.reshape(-1)
+    keep = tf != ignore
+    lf, tf = lf[keep], tf[keep]
+    probs = np.exp(lf - lf.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    losses = []
+    for cls in range(c):
+        fg = (tf == cls).astype(np.float64)
+        if fg.sum() == 0:
+            continue
+        errors = np.abs(fg - probs[:, cls])
+        order = np.argsort(-errors, kind="stable")
+        losses.append(np.dot(errors[order], _lovasz_grad_np(fg[order])))
+    return float(np.mean(losses))
+
+
+def _ohem_ce_np(logits, labels, thresh, min_kept, ignore=-1):
+    c = logits.shape[-1]
+    lt = torch.from_numpy(logits.reshape(-1, c).astype(np.float32))
+    tt = torch.from_numpy(labels.reshape(-1).astype(np.int64))
+    valid = tt != ignore
+    logp = F.log_softmax(lt, dim=-1)
+    p_t = logp.exp().gather(1, tt.clamp(min=0)[:, None])[:, 0]
+    p_t = torch.where(valid, p_t, torch.inf)
+    k = min(min_kept, len(p_t))
+    kth = torch.kthvalue(p_t, k).values
+    cutoff = torch.maximum(kth, torch.tensor(thresh))
+    keep = valid & (p_t <= cutoff)
+    nll = -logp.gather(1, tt.clamp(min=0)[:, None])[:, 0]
+    return float(nll[keep].sum() / keep.sum().clamp(min=1))
+
+
+def _focal_np(logits, labels, alpha, gamma, ignore=-1):
+    c = logits.shape[-1]
+    lt = torch.from_numpy(logits.reshape(-1, c).astype(np.float32))
+    tt = torch.from_numpy(labels.reshape(-1).astype(np.int64))
+    valid = tt != ignore
+    logp_t = F.log_softmax(lt, dim=-1).gather(1, tt.clamp(min=0)[:, None])[:, 0]
+    fl = -alpha * (1 - logp_t.exp()) ** gamma * logp_t
+    return float(fl[valid].sum() / valid.sum().clamp(min=1))
+
+
+# ------------------------------------------------------------------- tests
+def test_lovasz_matches_oracle_with_ignore(rng):
+    logits = rng.randn(2, 9, 13, 6).astype(np.float32)
+    target = rng.randint(0, 6, size=(2, 9, 13))
+    target[rng.rand(2, 9, 13) < 0.3] = -1  # heavy ignore coverage
+    got = float(lovasz_softmax_loss((jnp.asarray(logits),), jnp.asarray(target)))
+    want = _lovasz_softmax_np(logits, target)
+    assert np.isclose(got, want, rtol=1e-4), (got, want)
+
+
+def test_lovasz_matches_oracle_no_ignore(rng):
+    logits = rng.randn(1, 8, 8, 4).astype(np.float32)
+    target = rng.randint(0, 4, size=(1, 8, 8))
+    got = float(lovasz_softmax_loss((jnp.asarray(logits),), jnp.asarray(target)))
+    want = _lovasz_softmax_np(logits, target)
+    assert np.isclose(got, want, rtol=1e-4), (got, want)
+
+
+def test_lovasz_absent_class(rng):
+    """Classes with no ground-truth pixels are excluded from the mean."""
+    logits = rng.randn(1, 8, 8, 5).astype(np.float32)
+    target = rng.randint(0, 3, size=(1, 8, 8))  # classes 3, 4 absent
+    got = float(lovasz_softmax_loss((jnp.asarray(logits),), jnp.asarray(target)))
+    want = _lovasz_softmax_np(logits, target)
+    assert np.isclose(got, want, rtol=1e-4), (got, want)
+
+
+def test_lovasz_all_ignore_finite(rng):
+    logits = rng.randn(1, 4, 4, 3).astype(np.float32)
+    target = -np.ones((1, 4, 4), np.int64)
+    v = float(lovasz_softmax_loss((jnp.asarray(logits),), jnp.asarray(target)))
+    assert np.isfinite(v)
+
+
+def test_lovasz_perfect_prediction_near_zero(rng):
+    target = rng.randint(0, 4, size=(1, 8, 8))
+    logits = np.full((1, 8, 8, 4), -20.0, np.float32)
+    np.put_along_axis(logits, target[..., None], 20.0, axis=-1)
+    v = float(lovasz_softmax_loss((jnp.asarray(logits),), jnp.asarray(target)))
+    assert v < 1e-5, v
+
+
+def test_ohem_matches_oracle_thresh_binding(rng):
+    """min_kept small: the 0.7 threshold is the binding cutoff."""
+    logits = rng.randn(2, 16, 16, 5).astype(np.float32)
+    target = rng.randint(-1, 5, size=(2, 16, 16))
+    got = float(
+        ohem_ce_loss((jnp.asarray(logits),), jnp.asarray(target),
+                     thresh=0.7, min_kept=4)
+    )
+    want = _ohem_ce_np(logits, target, 0.7, 4)
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_ohem_matches_oracle_min_kept_binding(rng):
+    """min_kept large: the adaptive kth-prob cutoff binds."""
+    n, h, w, c = 1, 16, 16, 4
+    target = rng.randint(0, c, size=(n, h, w))
+    logits = np.full((n, h, w, c), -5.0, np.float32)
+    np.put_along_axis(logits, target[..., None], 5.0, axis=-1)
+    logits += rng.randn(*logits.shape).astype(np.float32) * 0.1
+    got = float(
+        ohem_ce_loss((jnp.asarray(logits),), jnp.asarray(target),
+                     thresh=0.7, min_kept=50)
+    )
+    want = _ohem_ce_np(logits, target, 0.7, 50)
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_focal_matches_oracle(rng):
+    logits = rng.randn(2, 12, 12, 7).astype(np.float32)
+    target = rng.randint(-1, 7, size=(2, 12, 12))
+    got = float(focal_loss((jnp.asarray(logits),), jnp.asarray(target),
+                           alpha=0.25, gamma=2.0))
+    want = _focal_np(logits, target, 0.25, 2.0)
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
