@@ -83,5 +83,5 @@ class ADE20KSegmentation(SegmentationDataset):
                 self.images[index]
             )
         mask = Image.open(self.masks[index])
-        img_t, mask_t = self.transform_pair(img, mask)
+        img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

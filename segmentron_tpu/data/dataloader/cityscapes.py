@@ -74,7 +74,7 @@ class CitySegmentation(SegmentationDataset):
                 self.images[index]
             )
         mask = Image.open(self.masks[index])
-        img_t, mask_t = self.transform_pair(img, mask)
+        img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])
 
 

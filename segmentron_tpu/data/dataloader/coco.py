@@ -95,5 +95,5 @@ class COCOSegmentation(SegmentationDataset):
         mask = Image.fromarray(
             self._gen_seg_mask(target, meta["height"], meta["width"])
         )
-        img_t, mask_t = self.transform_pair(img, mask)
+        img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, meta["file_name"]

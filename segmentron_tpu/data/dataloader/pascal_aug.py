@@ -54,5 +54,5 @@ class VOCAugSegmentation(SegmentationDataset):
     def __getitem__(self, index: int):
         img = Image.open(self.images[index]).convert("RGB")
         mask = self._load_mat_mask(self.masks[index])
-        img_t, mask_t = self.transform_pair(img, mask)
+        img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

@@ -47,5 +47,5 @@ class SBUSegmentation(SegmentationDataset):
     def __getitem__(self, index: int):
         img = Image.open(self.images[index]).convert("RGB")
         mask = Image.open(self.masks[index])
-        img_t, mask_t = self.transform_pair(img, mask)
+        img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

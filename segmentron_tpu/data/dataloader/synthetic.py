@@ -55,5 +55,5 @@ class SyntheticSegmentation(SegmentationDataset):
         img, mask = self._make_pair(index)
         if self.mode == "test":
             return self.transform_pair(img, None)[0], None, f"synthetic_{index}.png"
-        img_t, mask_t = self.transform_pair(img, mask)
+        img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, f"synthetic_{index}.png"

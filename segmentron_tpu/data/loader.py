@@ -45,6 +45,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # advances per-sample aug RNG
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -93,7 +93,18 @@ def ohem_ce_loss(
     (reference ``MixSoftmaxCrossEntropyOHEMLoss``): keep valid pixels
     whose true-class prob <= thresh, at least ``min_kept`` hardest.
     Implemented with an on-device top_k — no host sync (SURVEY.md §7
-    hard-parts list)."""
+    hard-parts list).
+
+    Data-parallel semantics (deliberate, pinned by
+    ``tests/test_dp_equivalence.py::test_ohem_dp_is_per_shard``):
+    under ``shard_map`` the selection runs per device shard and the
+    shard losses are pmean'd — exactly the reference's DDP behavior,
+    where each rank mines its LOCAL batch with its own ``min_kept`` and
+    DDP averages the gradients. ``min_kept`` therefore means "per
+    shard" (= reference "per process"), and the global kept count
+    scales with the number of devices, as it does upstream. Configs
+    tuned for a given per-GPU batch transfer unchanged when the
+    per-shard batch matches."""
     loss = _ohem_single(outputs[0], target, thresh, min_kept)
     for aux in outputs[1:]:
         loss = loss + aux_weight * _ohem_single(aux, target, thresh, min_kept)

@@ -54,6 +54,10 @@ def test_dp_step_equals_single_device(fresh_cfg):
     s1, l1 = run(1)
 
     assert abs(l8 - l1) < 1e-5, (l8, l1)
+    _check_params_and_stats(s8, s1)
+
+
+def _check_params_and_stats(s8, s1):
     # accumulation order differs between the sharded pmean and the
     # single-device reduction; allow float-noise on near-zero params
     for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
@@ -61,3 +65,47 @@ def test_dp_step_equals_single_device(fresh_cfg):
     # SyncBN statistics must also agree (psum-BN == big-batch BN)
     for a, b in zip(jax.tree.leaves(s8.batch_stats), jax.tree.leaves(s1.batch_stats)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_ohem_dp_is_per_shard(fresh_cfg):
+    """Pins the documented OHEM DP semantics (solver/loss.py): under the
+    8-device mesh the mined loss equals the MEAN OF PER-SHARD OHEM
+    losses (= reference DDP, where each rank mines its local batch),
+    which generally differs from single-device mining over the full
+    batch."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from segmentron_tpu.solver.loss import ohem_ce_loss
+    from segmentron_tpu.utils import create_mesh
+
+    rng = np.random.RandomState(0)
+    n, h, w, c = 8, 8, 8, 4
+    logits = rng.randn(n, h, w, c).astype(np.float32)
+    target = rng.randint(-1, c, size=(n, h, w)).astype(np.int32)
+    kw = dict(thresh=0.7, min_kept=5)  # min_kept binds per shard
+
+    mesh = create_mesh([8], ("data",))
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda lg, tg: jax.lax.pmean(
+                ohem_ce_loss((lg,), tg, **kw), "data"
+            ),
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    got = float(sharded(jnp.asarray(logits), jnp.asarray(target)))
+    want = np.mean([
+        float(ohem_ce_loss((jnp.asarray(logits[i : i + 1]),),
+                           jnp.asarray(target[i : i + 1]), **kw))
+        for i in range(n)
+    ])
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
+    # and it intentionally differs from global (single-device) mining
+    global_loss = float(
+        ohem_ce_loss((jnp.asarray(logits),), jnp.asarray(target), **kw)
+    )
+    assert not np.isclose(got, global_loss, rtol=1e-3), (got, global_loss)
