@@ -25,6 +25,7 @@ __all__ = [
     "convert_resnet_state",
     "convert_mobilenet_state",
     "convert_hrnet_state",
+    "convert_generic_state",
     "resnet_state_from_flax",
     "load_backbone_pretrained",
 ]
@@ -336,6 +337,56 @@ def convert_hrnet_state(state: Dict[str, np.ndarray], spec: dict) -> Dict[str, A
     return {"params": params, "batch_stats": stats}
 
 
+def convert_generic_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Dot-named torch ``state_dict`` -> flax ``{params, batch_stats}``
+    pytrees, for any torch module hierarchy whose submodule names equal
+    the flax scope names (our parity replicas in ``tests/torch_refs.py``
+    and the canonical ``tools/convert_weights.py`` layout; used for the
+    Xception-65/71 import, whose upstream .pth naming could not be
+    verified against the empty reference mount — the key mapping below
+    is the single place to adapt if it differs).
+
+    Per-leaf rules (unambiguous by tensor rank):
+    - ``*.weight`` 4-D -> ``kernel`` (OIHW -> HWIO)
+    - ``*.weight`` 2-D -> ``kernel`` (O,I -> I,O)
+    - ``*.weight`` 1-D -> ``scale`` (a norm layer)
+    - ``*.bias``        -> ``bias`` (conv, dense and norm alike)
+    - ``*.running_mean/var`` -> batch_stats ``mean``/``var``
+    - ``*.num_batches_tracked`` -> dropped
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, leaf, value):
+        node = tree
+        for part in path:
+            node = node.setdefault(part, {})
+        node[leaf] = value
+
+    for key, value in state.items():
+        path = key.split(".")
+        scope, leaf = path[:-1], path[-1]
+        v = _np(value)
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf == "running_mean":
+            put(stats, scope, "mean", v)
+        elif leaf == "running_var":
+            put(stats, scope, "var", v)
+        elif leaf == "weight":
+            if v.ndim == 4:
+                put(params, scope, "kernel", t2j_conv_kernel(v))
+            elif v.ndim == 2:
+                put(params, scope, "kernel", t2j_dense_kernel(v))
+            else:
+                put(params, scope, "scale", v)
+        elif leaf == "bias":
+            put(params, scope, "bias", v)
+        else:
+            raise ValueError(f"Unrecognized state_dict leaf: {key!r}")
+    return {"params": params, "batch_stats": stats}
+
+
 _RESNET_LAYERS = {
     "resnet18": (2, 2, 2, 2),
     "resnet34": (3, 4, 6, 3),
@@ -363,6 +414,10 @@ def load_backbone_pretrained(variables, backbone: str, path: str):
 
         state = load_torch_state_dict(path)
         tree = convert_hrnet_state(state, HRNET_SPECS[backbone])
+    elif backbone.startswith("xception"):
+        # flax-scope-named checkpoints (tools/convert_weights.py layout)
+        state = load_torch_state_dict(path)
+        tree = convert_generic_state(state)
     else:
         logger.warning("No torch->jax converter for backbone %r yet", backbone)
         return variables

@@ -1,0 +1,178 @@
+"""Whole-model numerical parity vs torch replicas (VERDICT r1 item 1 —
+the evidence chain for the mIoU contract): randomized torch weights ->
+production converters -> flax forward must match the torch forward at
+every backbone tap and at the final head logits.
+
+Backbones go through the REAL import path (``convert_resnet_state`` /
+``convert_mobilenet_state`` / ``convert_hrnet_state`` on torchvision/
+official-named replicas; ``convert_generic_state`` for Xception), so a
+layout transpose, BN mean/var mix-up, dilation/padding mismatch, or
+naming drift anywhere in the chain fails these tests.
+"""
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+import torch_refs as tr
+from segmentron_tpu.utils.torch_convert import (
+    convert_generic_state,
+    convert_hrnet_state,
+    convert_mobilenet_state,
+    convert_resnet_state,
+    convert_generic_state as generic,
+)
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def _nchw(x):
+    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+
+
+def _assert_close(got, want_torch, tol, what=""):
+    want = want_torch.detach().permute(0, 2, 3, 1).numpy()
+    got = np.asarray(got)
+    assert got.shape == want.shape, (what, got.shape, want.shape)
+    scale = max(1.0, float(np.abs(want).max()))
+    err = float(np.max(np.abs(got - want)))
+    assert err <= tol * scale, (what, err, scale)
+
+
+def _state(model):
+    return {k: v.numpy() for k, v in model.state_dict().items()}
+
+
+def _check_backbone(flax_bb, tree, tmodel, x, tol=2e-4):
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    # guard: converted tree must exactly match the flax init treedef
+    init = flax_bb.init(jax.random.PRNGKey(0), x)
+    for col in ("params", "batch_stats"):
+        a = jax.tree.map(lambda v: v.shape, init[col])
+        b = jax.tree.map(lambda v: np.asarray(v).shape, variables[col])
+        assert a == b, col
+    got = flax_bb.apply(variables, x, False)
+    with torch.no_grad():
+        want = tmodel(_nchw(x))
+    for i, (g, w) in enumerate(zip(got, want)):
+        _assert_close(g, w, tol, f"c{i + 1}")
+
+
+@pytest.mark.parametrize("name,block,layers,os_", [
+    ("resnet50", tr.TorchBottleneck, (3, 4, 6, 3), 8),
+    ("resnet18", tr.TorchBasicBlock, (2, 2, 2, 2), 16),
+])
+def test_resnet_backbone_parity(fresh_cfg, name, block, layers, os_):
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = os_
+    tm = tr.randomize(tr.TorchResNet(block, layers, output_stride=os_), seed=1)
+    tree = convert_resnet_state(_state(tm), layers)
+    bb = get_segmentation_backbone(name, NormConfig())
+    x = np.random.RandomState(0).randn(1, 65, 65, 3).astype(np.float32)
+    _check_backbone(bb, tree, tm, x)
+
+
+def test_mobilenet_v2_backbone_parity(fresh_cfg):
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 16
+    tm = tr.randomize(tr.TorchMobileNetV2(output_stride=16), seed=2)
+    tree = convert_mobilenet_state(_state(tm))
+    bb = get_segmentation_backbone("mobilenet_v2", NormConfig())
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    _check_backbone(bb, tree, tm, x)
+
+
+def test_hrnet_backbone_parity(fresh_cfg):
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.models.backbones.hrnet import HRNET_SPECS
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    spec = HRNET_SPECS["hrnet_w18_small_v1"]
+    tm = tr.randomize(tr.TorchHRNet(spec), seed=3)
+    tree = convert_hrnet_state(_state(tm), spec)
+    bb = get_segmentation_backbone("hrnet_w18_small_v1", NormConfig())
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    _check_backbone(bb, tree, tm, x)
+
+
+@pytest.mark.parametrize("os_", [16, 8])
+def test_xception65_backbone_parity(fresh_cfg, os_):
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = os_
+    tm = tr.randomize(tr.TorchXception65(output_stride=os_), seed=4)
+    tree = convert_generic_state(_state(tm))
+    bb = get_segmentation_backbone("xception65", NormConfig())
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    # deeper net -> slightly looser tolerance
+    _check_backbone(bb, tree, tm, x, tol=5e-4)
+
+
+def test_fcn_resnet50_full_model_parity(fresh_cfg):
+    """Converted ResNet-50 + FCN head: final (and aux) logits match."""
+    from segmentron_tpu.models.fcn import FCN
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 7
+    tbb = tr.TorchResNet(tr.TorchBottleneck, (3, 4, 6, 3), output_stride=8)
+    tm = tr.randomize(tr.TorchFCN(tbb, 2048, nclass, aux=True, c3_ch=1024),
+                      seed=5)
+    state = _state(tm)
+    bb_state = {k[len("backbone."):]: v for k, v in state.items()
+                if k.startswith("backbone.")}
+    head_state = {k: v for k, v in state.items()
+                  if not k.startswith("backbone.")}
+    bb_tree = convert_resnet_state(bb_state, (3, 4, 6, 3))
+    head_tree = generic(head_state)
+    variables = {
+        "params": {"backbone": bb_tree["params"], **head_tree["params"]},
+        "batch_stats": {"backbone": bb_tree["batch_stats"],
+                        **head_tree["batch_stats"]},
+    }
+    model = FCN(nclass=nclass, backbone="resnet50", aux=True,
+                encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(0).randn(1, 65, 65, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 5e-4, "main logits")
+    _assert_close(got[1], want[1], 5e-4, "aux logits")
+
+
+def test_deeplabv3plus_xception65_full_model_parity(fresh_cfg):
+    """The flagship config (#3): converted Xception-65 + ASPP + decoder
+    logits match torch end to end."""
+    from segmentron_tpu.models.deeplabv3_plus import DeepLabV3Plus
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 16
+    nclass = 5
+    tbb = tr.TorchXception65(output_stride=16)
+    tm = tr.randomize(tr.TorchDeepLabV3Plus(tbb, nclass, output_stride=16),
+                      seed=6)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = DeepLabV3Plus(
+        nclass=nclass, backbone="xception65", aux=False,
+        encoder_norm=NormConfig(), decoder_norm=NormConfig(),
+        use_aspp=True, enable_decoder=True, aspp_sep=True, decoder_sep=True,
+        output_stride=16,
+    )
+    init = model.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 64, 64, 3), np.float32))
+    for col in ("params", "batch_stats"):
+        a = jax.tree.map(lambda v: v.shape, init[col])
+        b = jax.tree.map(lambda v: np.asarray(v).shape, variables[col])
+        assert a == b, col
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
