@@ -16,7 +16,15 @@ import hashlib
 import os
 from typing import Optional
 
-__all__ = ["pretrained_url", "cached_weight_path", "resolve_pretrained"]
+__all__ = [
+    "pretrained_url",
+    "cached_weight_path",
+    "resolve_pretrained",
+    "check_sha1",
+    "check_sha256",
+    "url_embedded_hash",
+    "verify_weight_file",
+]
 
 # Reference URL table (torch hub / SegmenTron release assets).
 _URLS = {
@@ -62,12 +70,53 @@ def check_sha1(path: str, sha1: str) -> bool:
     return h.hexdigest().startswith(sha1)
 
 
-def resolve_pretrained(backbone: str, explicit_path: str = "") -> Optional[str]:
+def check_sha256(path: str, prefix: str) -> bool:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest().startswith(prefix)
+
+
+def url_embedded_hash(url: Optional[str]) -> Optional[str]:
+    """torch-hub filename convention: ``name-<sha256prefix8>.pth``."""
+    if not url:
+        return None
+    base = os.path.basename(url)
+    stem = base.split(".")[0]
+    if "-" in stem:
+        cand = stem.rsplit("-", 1)[1]
+        if len(cand) >= 8 and all(c in "0123456789abcdef" for c in cand):
+            return cand
+    return None
+
+
+def verify_weight_file(path: str, backbone: str) -> None:
+    """Enforce the URL-embedded hash when one is known (reference
+    behavior: the download path sha-checks every file). Raises on
+    mismatch — a silently corrupt checkpoint would train to garbage."""
+    expect = url_embedded_hash(pretrained_url(backbone))
+    if expect is None:
+        return
+    # files renamed to <backbone>.pth by our cache keep verifiability
+    # through this check; torch-hub-named files carry it in the name.
+    if not check_sha256(path, expect):
+        raise IOError(
+            f"Pretrained checkpoint {path!r} failed its sha256 check "
+            f"(expected prefix {expect!r}). Delete and re-download."
+        )
+
+
+def resolve_pretrained(
+    backbone: str, explicit_path: str = "", verify: bool = True
+) -> Optional[str]:
     """Find pretrained weights: explicit path > cache > (download).
 
     Returns a filesystem path or None. Raises FileNotFoundError if an
     explicit path was configured but doesn't exist (a silent miss there
-    would train from scratch unnoticed).
+    would train from scratch unnoticed). Cache hits and downloads are
+    hash-verified against the URL-embedded sha256 prefix when known;
+    explicit paths are trusted (they may be converted/retrained files).
     """
     if explicit_path:
         if not os.path.isfile(explicit_path):
@@ -77,6 +126,11 @@ def resolve_pretrained(backbone: str, explicit_path: str = "") -> Optional[str]:
         return explicit_path
     cached = cached_weight_path(backbone)
     if cached:
+        # .npz = our converted flax format (tools/convert_weights.py);
+        # its integrity is covered by the converter roundtrip, and the
+        # torch-hub hash wouldn't match it anyway.
+        if verify and cached.endswith((".pth", ".pt")):
+            verify_weight_file(cached, backbone)
         return cached
     url = pretrained_url(backbone)
     if url:
@@ -86,6 +140,8 @@ def resolve_pretrained(backbone: str, explicit_path: str = "") -> Optional[str]:
             os.makedirs(default_cache_dir(), exist_ok=True)
             dst = os.path.join(default_cache_dir(), backbone + ".pth")
             urllib.request.urlretrieve(url, dst)
+            if verify:
+                verify_weight_file(dst, backbone)
             return dst
         except Exception:
             return None

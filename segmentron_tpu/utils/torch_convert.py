@@ -28,6 +28,9 @@ __all__ = [
     "convert_generic_state",
     "resnet_state_from_flax",
     "load_backbone_pretrained",
+    "convert_backbone_state",
+    "save_flax_npz",
+    "load_flax_npz",
 ]
 
 
@@ -396,31 +399,72 @@ _RESNET_LAYERS = {
 }
 
 
+def save_flax_npz(tree: Dict[str, Any], path: str) -> None:
+    """Save a ``{"params": ..., "batch_stats": ...}`` pytree as a flat
+    ``.npz`` (keys ``params/scope/.../leaf``) — the portable output
+    format of ``tools/convert_weights.py``."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                flat[p] = np.asarray(v)
+
+    walk(tree, "")
+    np.savez_compressed(path, **flat)
+
+
+def load_flax_npz(path: str) -> Dict[str, Any]:
+    """Inverse of :func:`save_flax_npz`."""
+    tree: Dict[str, Any] = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = tree
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = data[key]
+    return tree
+
+
+def convert_backbone_state(backbone: str, state: Dict[str, np.ndarray]):
+    """torch ``state_dict`` (numpy leaves) -> flax ``{params,
+    batch_stats}`` tree for any supported backbone. Raises KeyError for
+    unknown backbones (CLI surface wants a loud failure)."""
+    if backbone in _RESNET_LAYERS:
+        return convert_resnet_state(state, _RESNET_LAYERS[backbone])
+    if backbone == "mobilenet_v2":
+        return convert_mobilenet_state(state)
+    if backbone.startswith("hrnet"):
+        from ..models.backbones.hrnet import HRNET_SPECS
+
+        return convert_hrnet_state(state, HRNET_SPECS[backbone])
+    if backbone.startswith("xception") or backbone == "generic":
+        # flax-scope-named checkpoints (tools/convert_weights.py layout)
+        return convert_generic_state(state)
+    raise KeyError(f"No torch->jax converter for backbone {backbone!r}")
+
+
 def load_backbone_pretrained(variables, backbone: str, path: str):
-    """Merge pretrained torch weights for ``backbone`` into the model's
-    ``variables`` (under the "backbone" scope). Returns new variables;
-    unknown backbones return them unchanged with a warning."""
+    """Merge pretrained weights for ``backbone`` into the model's
+    ``variables`` (under the "backbone" scope). Accepts torch ``.pth``
+    checkpoints (converted on the fly) or pre-converted ``.npz`` trees
+    from ``tools/convert_weights.py``. Returns new variables; unknown
+    backbones return them unchanged with a warning."""
     from .logger import get_logger
 
     logger = get_logger()
-    if backbone in _RESNET_LAYERS:
-        state = load_torch_state_dict(path)
-        tree = convert_resnet_state(state, _RESNET_LAYERS[backbone])
-    elif backbone == "mobilenet_v2":
-        state = load_torch_state_dict(path)
-        tree = convert_mobilenet_state(state)
-    elif backbone.startswith("hrnet"):
-        from ..models.backbones.hrnet import HRNET_SPECS
-
-        state = load_torch_state_dict(path)
-        tree = convert_hrnet_state(state, HRNET_SPECS[backbone])
-    elif backbone.startswith("xception"):
-        # flax-scope-named checkpoints (tools/convert_weights.py layout)
-        state = load_torch_state_dict(path)
-        tree = convert_generic_state(state)
+    if path.endswith(".npz"):
+        tree = load_flax_npz(path)
     else:
-        logger.warning("No torch->jax converter for backbone %r yet", backbone)
-        return variables
+        try:
+            tree = convert_backbone_state(backbone, load_torch_state_dict(path))
+        except KeyError:
+            logger.warning("No torch->jax converter for backbone %r yet", backbone)
+            return variables
 
     def merge(dst, src):
         out = dict(dst)
