@@ -1,0 +1,145 @@
+"""Real directory-layout loader tests (VERDICT r1 item 8): miniature
+Cityscapes / VOC / SBD / ADE20K trees with genuine PNG/JPEG/.mat files
+are built on disk and parsed through each loader's actual split
+discovery and id-mapping code — no synthetic shortcut.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from segmentron_tpu.data.dataloader import get_segmentation_dataset
+
+
+def _png(path, arr, mode=None):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr, mode=mode).save(path)
+
+
+def _jpg(path, h=32, w=48, seed=0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+
+# ------------------------------------------------------------- cityscapes
+def test_cityscapes_layout_and_trainid_mapping(tmp_path):
+    root = str(tmp_path / "cityscapes")
+    # raw ids: 7 (road -> 0), 26 (car -> 13), 0 (void -> -1), 33 (bike -> 18)
+    raw = np.zeros((32, 48), np.uint8)
+    raw[:8] = 7
+    raw[8:16] = 26
+    raw[16:24] = 0
+    raw[24:] = 33
+    for city, stem, seed in (("aaa", "aaa_000000_000019", 0),
+                             ("bbb", "bbb_000001_000019", 1)):
+        _jpg(f"{root}/leftImg8bit/val/{city}/{stem}_leftImg8bit.png", seed=seed)
+        _png(f"{root}/gtFine/val/{city}/{stem}_gtFine_labelIds.png", raw)
+
+    ds = get_segmentation_dataset("cityscapes", root=root, split="val",
+                                  mode="testval")
+    assert len(ds) == 2
+    img, mask, name = ds[0]
+    assert name == "aaa_000000_000019_leftImg8bit.png"
+    assert img.shape == (32, 48, 3) and mask.shape == (32, 48)
+    assert (mask[:8] == 0).all()        # road
+    assert (mask[8:16] == 13).all()     # car
+    assert (mask[16:24] == -1).all()    # void -> ignore
+    assert (mask[24:] == 18).all()      # bicycle
+
+
+def test_cityscapes_missing_root_raises(tmp_path):
+    with pytest.raises(RuntimeError):
+        get_segmentation_dataset("cityscapes", root=str(tmp_path / "nope"),
+                                 split="val", mode="testval")
+
+
+# -------------------------------------------------------------------- voc
+def test_voc_layout_split_and_ignore(tmp_path):
+    root = str(tmp_path / "VOC2012")
+    mask = np.zeros((32, 48), np.uint8)
+    mask[:8] = 255   # boundary -> -1
+    mask[8:16] = 15  # person
+    for n, seed in (("2007_000001", 0), ("2007_000002", 1)):
+        _jpg(f"{root}/JPEGImages/{n}.jpg", seed=seed)
+        _png(f"{root}/SegmentationClass/{n}.png", mask)
+    # only one name in the split file: split parsing must honor it
+    os.makedirs(f"{root}/ImageSets/Segmentation", exist_ok=True)
+    with open(f"{root}/ImageSets/Segmentation/val.txt", "w") as f:
+        f.write("2007_000001\n")
+
+    ds = get_segmentation_dataset("pascal_voc", root=root, split="val",
+                                  mode="testval")
+    assert len(ds) == 1
+    _, m, name = ds[0]
+    assert name == "2007_000001.jpg"
+    assert (m[:8] == -1).all() and (m[8:16] == 15).all() and (m[16:] == 0).all()
+
+
+def test_voc_missing_split_raises(tmp_path):
+    root = str(tmp_path / "VOC2012")
+    os.makedirs(root, exist_ok=True)
+    with pytest.raises(RuntimeError):
+        get_segmentation_dataset("pascal_voc", root=root, split="val",
+                                 mode="testval")
+
+
+# -------------------------------------------------------------- sbd (.mat)
+def test_pascal_aug_mat_masks(tmp_path):
+    sio = pytest.importorskip("scipy.io")
+    root = str(tmp_path / "voc")
+    base = f"{root}/VOCaug/dataset"
+    seg = np.zeros((32, 48), np.uint8)
+    seg[:16] = 12  # dog
+    for n, seed in (("2008_000003", 0), ("2008_000004", 1)):
+        _jpg(f"{base}/img/{n}.jpg", seed=seed)
+        os.makedirs(f"{base}/cls", exist_ok=True)
+        sio.savemat(f"{base}/cls/{n}.mat",
+                    {"GTcls": {"Segmentation": seg}})
+    with open(f"{base}/trainval.txt", "w") as f:
+        f.write("2008_000003\n2008_000004\n")
+
+    ds = get_segmentation_dataset("pascal_aug", root=root, split="train",
+                                  mode="testval")
+    assert len(ds) == 2
+    _, m, _ = ds[0]
+    assert (m[:16] == 12).all() and (m[16:] == 0).all()
+
+
+# -------------------------------------------------------------------- ade
+def test_ade20k_layout_and_label_shift(tmp_path):
+    root = str(tmp_path / "ade")
+    base = f"{root}/ADEChallengeData2016"
+    raw = np.zeros((32, 48), np.uint8)  # 0 = unlabeled -> -1
+    raw[:16] = 1    # wall -> class 0
+    raw[16:24] = 150  # flag -> class 149
+    for n, seed in (("ADE_val_00000001", 0), ("ADE_val_00000002", 1)):
+        _jpg(f"{base}/images/validation/{n}.jpg", seed=seed)
+        _png(f"{base}/annotations/validation/{n}.png", raw)
+
+    ds = get_segmentation_dataset("ade20k", root=root, split="val",
+                                  mode="testval")
+    assert len(ds) == 2
+    assert ds.pred_offset == 1
+    _, m, _ = ds[0]
+    assert (m[:16] == 0).all() and (m[16:24] == 149).all() and (m[24:] == -1).all()
+
+
+# -------------------------------------------- train mode through a real tree
+def test_cityscapes_train_mode_static_shapes(tmp_path, fresh_cfg):
+    """Train transforms over a real Cityscapes tree produce static
+    CROP_SIZE shapes and only valid train ids."""
+    fresh_cfg.TRAIN.CROP_SIZE = 24
+    fresh_cfg.TRAIN.BASE_SIZE = 32
+    root = str(tmp_path / "cityscapes")
+    raw = np.full((48, 64), 26, np.uint8)  # car everywhere
+    _jpg(f"{root}/leftImg8bit/train/aaa/x_leftImg8bit.png", h=48, w=64)
+    _png(f"{root}/gtFine/train/aaa/x_gtFine_labelIds.png", raw)
+    ds = get_segmentation_dataset("cityscapes", root=root, split="train",
+                                  mode="train")
+    img, mask, _ = ds[0]
+    assert img.shape == (24, 24, 3)
+    assert mask.shape == (24, 24)
+    assert set(np.unique(mask)) <= {-1, 13}  # car or pad-ignore
