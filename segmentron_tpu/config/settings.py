@@ -77,6 +77,13 @@ cfg.TEST.BATCH_SIZE = 1
 cfg.TEST.CROP_SIZE = None  # sliding-window window size; None = whole image
 cfg.TEST.SCALES = [1.0]  # multi-scale TTA factors
 cfg.TEST.FLIP = False  # horizontal-flip TTA
+cfg.TEST.DISTRIBUTED = True  # data-parallel TTA eval over the mesh when
+#   more than one device is visible (psum'd confusion matrix; results
+#   are bit-identical to single-device — integer CM sum)
+cfg.TEST.SPATIAL_SHARD = False  # GSPMD-shard image HEIGHT across the
+#   mesh for whole-image forwards (parallel/spatial.py) — the sequence-
+#   parallel analogue for full-res attention heads whose activations
+#   exceed one chip's HBM (SURVEY §5.7)
 
 # ---------------------------------------------------------------- visual
 cfg.VISUAL = SegmentronConfig()

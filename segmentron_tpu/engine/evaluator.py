@@ -18,9 +18,10 @@ import numpy as np
 from ..config import cfg
 from ..data import DataLoader, get_segmentation_dataset
 from ..models import get_segmentation_model
-from ..utils import SegmentationMetric, get_logger
+from ..utils import SegmentationMetric, create_mesh, get_logger
 from ..utils.checkpoint import CheckpointManager
-from .steps import make_predict_fn
+from ..utils.distributed import batch_sharding
+from .steps import make_predict_fn, make_tta_eval_step
 from .tta import multi_scale_predict
 
 __all__ = ["Evaluator"]
@@ -48,9 +49,23 @@ class Evaluator:
         if variables is None:
             variables = self._load_variables()
         self.variables = variables
-        self.predict_fn = make_predict_fn(
-            self.model, compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
-        )
+        n_dev = len(jax.devices())
+        self.mesh = None
+        if bool(cfg.TEST.SPATIAL_SHARD) and n_dev > 1:
+            # sequence-parallel analogue: shard image height over the
+            # mesh so full-res attention activations fit (SURVEY §5.7)
+            from ..parallel.spatial import make_spatial_predict_fn
+
+            mesh = create_mesh([n_dev], ("model",))
+            spatial = make_spatial_predict_fn(self.model, mesh)
+            self.predict_fn = lambda v, im: spatial(v, im).astype(jnp.float32)
+        else:
+            self.predict_fn = make_predict_fn(
+                self.model, compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE)
+            )
+            if bool(cfg.TEST.DISTRIBUTED) and n_dev > 1:
+                self.mesh = create_mesh([n_dev], ("data",))
+        self._tta_steps = {}
         self.metric = SegmentationMetric(self.nclass)
 
     def _load_variables(self):
@@ -74,6 +89,61 @@ class Evaluator:
             "batch_stats": restored.get("batch_stats", {}) or {},
         }
 
+    def _tta_step_for(self, shape):
+        """One compiled sharded TTA program per image-shape bucket."""
+        if shape not in self._tta_steps:
+            crop = cfg.TEST.CROP_SIZE
+            self._tta_steps[shape] = make_tta_eval_step(
+                self.model,
+                self.nclass,
+                self.mesh,
+                scales=tuple(cfg.TEST.SCALES),
+                flip=bool(cfg.TEST.FLIP),
+                crop_size=int(crop) if crop else None,
+                compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
+            )
+        return self._tta_steps[shape]
+
+    def _eval_distributed(self):
+        """Images round-robin over the data mesh, grouped by shape; the
+        per-shard TTA pipelines run concurrently and the confusion
+        matrix arrives psum'd. Ragged tails are padded with repeated
+        images whose masks are all ignore (-1): zero CM contribution, so
+        the result is bit-identical to the single-device path."""
+        n_dev = self.mesh.size
+        buckets = {}
+        n_img = 0
+
+        def flush(shape):
+            imgs, masks = buckets.pop(shape)
+            k = len(imgs)
+            while len(imgs) % n_dev:
+                imgs.append(imgs[-1])
+                masks.append(np.full_like(masks[-1], -1))
+            images = jax.device_put(
+                np.stack(imgs), batch_sharding(self.mesh)
+            )
+            targets = jax.device_put(
+                np.stack(masks), batch_sharding(self.mesh)
+            )
+            cm = self._tta_step_for(shape)(self.variables, images, targets)
+            self.metric.update_cm(cm)
+            return k
+
+        for batch in self.loader:
+            for i in range(batch["image"].shape[0]):
+                img = np.asarray(batch["image"][i])
+                mask = np.asarray(batch["mask"][i])
+                key = img.shape
+                buckets.setdefault(key, ([], []))
+                buckets[key][0].append(img)
+                buckets[key][1].append(mask)
+                if len(buckets[key][0]) == n_dev:
+                    n_img += flush(key)
+        for shape in list(buckets):
+            n_img += flush(shape)
+        return n_img
+
     def eval(self):
         self.metric.reset()
         scales = list(cfg.TEST.SCALES)
@@ -81,20 +151,23 @@ class Evaluator:
         crop = cfg.TEST.CROP_SIZE
         t0 = time.time()
         n_img = 0
-        for batch in self.loader:
-            image = jnp.asarray(batch["image"])
-            mask = np.asarray(batch["mask"])
-            probs = multi_scale_predict(
-                self.predict_fn,
-                self.variables,
-                image,
-                self.nclass,
-                scales=scales,
-                flip=flip,
-                crop_size=int(crop) if crop else None,
-            )
-            self.metric.update(jnp.argmax(probs, axis=-1), mask)
-            n_img += image.shape[0]
+        if self.mesh is not None:
+            n_img = self._eval_distributed()
+        else:
+            for batch in self.loader:
+                image = jnp.asarray(batch["image"])
+                mask = np.asarray(batch["mask"])
+                probs = multi_scale_predict(
+                    self.predict_fn,
+                    self.variables,
+                    image,
+                    self.nclass,
+                    scales=scales,
+                    flip=flip,
+                    crop_size=int(crop) if crop else None,
+                )
+                self.metric.update(jnp.argmax(probs, axis=-1), mask)
+                n_img += image.shape[0]
         dt = time.time() - t0
         pix_acc, miou, category_iou = self.metric.get(return_category_iou=True)
         self.logger.info(

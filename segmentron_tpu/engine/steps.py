@@ -23,7 +23,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.score import confusion_matrix_update
 
-__all__ = ["TrainState", "make_train_step", "make_eval_step", "make_predict_fn"]
+__all__ = [
+    "TrainState",
+    "make_train_step",
+    "make_eval_step",
+    "make_tta_eval_step",
+    "make_predict_fn",
+]
 
 
 @struct.dataclass
@@ -165,6 +171,58 @@ def make_eval_step(
         step_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_tta_eval_step(
+    model,
+    nclass: int,
+    mesh: Mesh,
+    scales=(1.0,),
+    flip: bool = False,
+    crop_size: Optional[int] = None,
+    axis: str = "data",
+    compute_dtype=None,
+):
+    """Sharded full-TTA eval step (SURVEY §3.2 metric reduction): images
+    round-robin over the ``data`` axis, each shard runs the COMPLETE
+    multi-scale + flip + sliding-window pipeline on its images, and the
+    per-shard confusion matrices are psum'd — one compiled program per
+    image-shape bucket, shard-count-invariant results (the CM sum is
+    integer, so 8-device == 1-device bit for bit).
+
+    (variables, images (N,H,W,3), masks (N,H,W)) -> cm (nclass, nclass),
+    N a multiple of mesh size; callers pad ragged tails with all-ignore
+    masks (zero CM contribution).
+    """
+    from .tta import _multi_scale_body
+
+    half = compute_dtype if compute_dtype is not None else jnp.float32
+    mixed = half != jnp.float32
+
+    def predict(variables, images):
+        if mixed:
+            variables = dict(variables)
+            variables["params"] = _cast_floats(variables["params"], half)
+            images = images.astype(half)
+        return model.apply(variables, images, False)[0].astype(jnp.float32)
+
+    def step_fn(variables, images, masks):
+        probs = _multi_scale_body(
+            predict, variables, images, nclass, list(scales), bool(flip),
+            int(crop_size) if crop_size else None, True,
+        )
+        pred = jnp.argmax(probs, axis=-1)
+        cm = confusion_matrix_update(pred, masks, nclass)
+        return jax.lax.psum(cm, axis)
+
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False,
     )

@@ -43,38 +43,46 @@ def _grid_positions(ph: int, pw: int, crop: int, stride: int):
     ]
 
 
-@functools.lru_cache(maxsize=64)
-def _sliding_fn(predict_id, h: int, w: int, ch: int, crop: int, stride: int,
-                nclass: int):
-    """One jitted program per shape bucket that extracts EVERY window,
-    runs the model over them as one batch, and stitches with static
-    scatter-adds — a single device dispatch per image instead of one
-    per window (the relay's ~80 ms dispatch latency makes eager
-    window loops ~100x slower; on any TPU the batched form also fills
-    the chip far better than crop-sized calls)."""
-    predict_fn = _PREDICT_REGISTRY[predict_id]
+def _sliding_body(predict_fn, variables, image, crop: int, stride: int,
+                  nclass: int):
+    """Trace-time sliding-window body: extract EVERY window, run the
+    model over them as one batch, stitch with static scatter-adds.
+    Pure (no jit inside) so it can run under an outer jit OR inside a
+    shard_map eval step."""
+    _, h, w, ch = image.shape
     pad_h = max(crop - h, 0)
     pad_w = max(crop - w, 0)
     ph, pw = h + pad_h, w + pad_w
     grid = _grid_positions(ph, pw, crop, stride)
+    padded = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    windows = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice(padded, (0, y0, x0, 0), (1, crop, crop, ch))
+            for (y0, x0) in grid
+        ],
+        axis=0,
+    )  # (n_windows, crop, crop, ch)
+    logits = predict_fn(variables, windows).astype(jnp.float32)
+    canvas = jnp.zeros((ph, pw, nclass), jnp.float32)
+    count = jnp.zeros((ph, pw, 1), jnp.float32)
+    for i, (y0, x0) in enumerate(grid):
+        canvas = canvas.at[y0 : y0 + crop, x0 : x0 + crop].add(logits[i])
+        count = count.at[y0 : y0 + crop, x0 : x0 + crop].add(1.0)
+    return (canvas / jnp.maximum(count, 1.0))[None, :h, :w]
+
+
+@functools.lru_cache(maxsize=64)
+def _sliding_fn(predict_id, h: int, w: int, ch: int, crop: int, stride: int,
+                nclass: int):
+    """One jitted program per shape bucket — a single device dispatch
+    per image instead of one per window (the relay's ~80 ms dispatch
+    latency makes eager window loops ~100x slower; on any TPU the
+    batched form also fills the chip far better than crop-sized calls)."""
+    predict_fn = _PREDICT_REGISTRY[predict_id]
 
     @jax.jit
     def run(variables, image):  # image (1, h, w, ch)
-        padded = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        windows = jnp.concatenate(
-            [
-                jax.lax.dynamic_slice(padded, (0, y0, x0, 0), (1, crop, crop, ch))
-                for (y0, x0) in grid
-            ],
-            axis=0,
-        )  # (n_windows, crop, crop, ch)
-        logits = predict_fn(variables, windows).astype(jnp.float32)
-        canvas = jnp.zeros((ph, pw, nclass), jnp.float32)
-        count = jnp.zeros((ph, pw, 1), jnp.float32)
-        for i, (y0, x0) in enumerate(grid):
-            canvas = canvas.at[y0 : y0 + crop, x0 : x0 + crop].add(logits[i])
-            count = count.at[y0 : y0 + crop, x0 : x0 + crop].add(1.0)
-        return (canvas / jnp.maximum(count, 1.0))[None, :h, :w]
+        return _sliding_body(predict_fn, variables, image, crop, stride, nclass)
 
     return run
 
@@ -143,7 +151,13 @@ def _multi_scale_body(
             variants.append(scaled[:, :, ::-1])
         for vi, img in enumerate(variants):
             if crop_size is not None and max(sh, sw) > crop_size:
-                logits = predict_sliding(predict_fn, variables, img, crop_size, nclass)
+                stride = int(math.ceil(crop_size * 2.0 / 3.0))
+                parts = [
+                    _sliding_body(predict_fn, variables, img[i : i + 1],
+                                  crop_size, stride, nclass)
+                    for i in range(img.shape[0])
+                ]
+                logits = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
             else:
                 logits = predict_fn(variables, img)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
