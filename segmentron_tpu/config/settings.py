@@ -137,6 +137,11 @@ cfg.MODEL.POINTREND.IMPORTANCE = 0.75  # beta: fraction picked by uncertainty
 cfg.MODEL.POINTREND.SUBDIVISION_STEPS = 2
 cfg.MODEL.POINTREND.SUBDIVISION_POINTS = 2048
 
+cfg.MODEL.XCEPTION = SegmentronConfig()
+cfg.MODEL.XCEPTION.MIDDLE_BLOCKS = 16  # 16 = Xception-65; small values
+#   give width-true slim variants for CI / multichip dryruns (the CPU
+#   compile of the full 16-block fwd+bwd takes >10 min)
+
 cfg.MODEL.HRNET = SegmentronConfig()
 cfg.MODEL.HRNET.PRETRAINED_LAYERS = ["*"]
 cfg.MODEL.HRNET.STEM_INPLANES = 64

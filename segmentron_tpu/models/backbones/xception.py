@@ -144,7 +144,10 @@ def _xception65(norm: NormConfig, name=None):
     from ...config import cfg
 
     return Xception65(
-        output_stride=int(cfg.MODEL.OUTPUT_STRIDE), norm=norm, name=name
+        output_stride=int(cfg.MODEL.OUTPUT_STRIDE),
+        middle_blocks=int(cfg.MODEL.XCEPTION.MIDDLE_BLOCKS),
+        norm=norm,
+        name=name,
     )
 
 
@@ -153,5 +156,9 @@ def _xception71(norm: NormConfig, name=None):
     from ...config import cfg
 
     return Xception65(
-        output_stride=int(cfg.MODEL.OUTPUT_STRIDE), variant="71", norm=norm, name=name
+        output_stride=int(cfg.MODEL.OUTPUT_STRIDE),
+        middle_blocks=int(cfg.MODEL.XCEPTION.MIDDLE_BLOCKS),
+        variant="71",
+        norm=norm,
+        name=name,
     )
