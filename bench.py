@@ -22,7 +22,10 @@ Methodology notes (this container):
   clock stops on a scalar readback, which drains the pipeline.
 
 Env knobs: BENCH_H/BENCH_W (default 1024/2048), BENCH_ITERS,
-BENCH_BATCH.
+BENCH_BATCH, BENCH_INT8 in {off, pw, full} — default "pw" (mixed
+static-int8: bf16 depthwise + s8xs8 pointwise; +9% measured, argmax
+agreement >97% vs fp32 on synthetic parity, see BASELINE.md). "off"
+gives the parity-exact bf16 path; "full" is a measured regression.
 """
 
 import json
@@ -63,6 +66,10 @@ def main():
     cfg.MODEL.BACKBONE = "xception65"
     cfg.MODEL.OUTPUT_STRIDE = 16
     cfg.SOLVER.AUX = False
+    int8_env = os.environ.get("BENCH_INT8", "pw")
+    cfg.TPU.INT8_ACTIVATIONS = {"1": True, "full": True, "pw": "pw"}.get(
+        int8_env, False
+    )
     model = get_segmentation_model()
 
     h = int(os.environ.get("BENCH_H", 1024))

@@ -171,6 +171,15 @@ cfg.TPU.USE_PALLAS_SEPCONV = False  # fused sepconv kernels measured
 #   more than the intermediate it saves. Kept as reference kernels +
 #   parity tests. See BASELINE.md.
 cfg.TPU.DONATE = True  # donate train-state buffers into the step
+cfg.TPU.INT8_ACTIVATIONS = False  # static-int8 backbone inference
+#   (ops/quant.py): False/"none" = off; "pw" = int8 pointwise convs
+#   only (bf16 depthwise, int8 dw->pw hop — the fastest measured
+#   variant); True/"full" = every backbone conv + activation int8
+#   (measured SLOWER than bf16 end-to-end on v5e: the int8 depthwise
+#   lowering loses more than the pointwise gains). Scales derive from
+#   BN statistics — no calibration pass. Eval-only; accuracy/perf
+#   deltas documented in BASELINE.md.
+cfg.TPU.INT8_K = 6.0  # BN-sigma multiple bounding the activation range
 
 # ---------------------------------------------------------------- utils
 cfg.UTILS = SegmentronConfig()

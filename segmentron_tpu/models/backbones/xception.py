@@ -43,6 +43,9 @@ class XceptionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ...ops.quant import QTensor
+
+        int8 = isinstance(x, QTensor)
         residual = x
         y = x
         for i, ch in enumerate(self.channels):
@@ -57,15 +60,39 @@ class XceptionBlock(nn.Module):
                 name=f"sep{i + 1}",
             )(y, train)
         if self.skip_type == "conv":
-            residual = conv2d(
-                self.channels[-1], 1, self.stride, 0, name="skip_conv"
-            )(x)
-            residual = self.norm.make("skip_bn")(
-                residual, use_running_average=not train
-            )
-            y = y + residual
+            if int8:
+                from ...config import cfg
+                from ...ops.quant import (
+                    bn_amax, bn_folded_affine, qadd, qconv,
+                )
+
+                from ...modules.basic import _SharedBN, _SharedKernel
+
+                w = _SharedKernel(
+                    (1, 1, x.q.shape[-1], self.channels[-1]), name="skip_conv"
+                )()
+                s, b, m, v = _SharedBN(name="skip_bn")(self.channels[-1])
+                a_bn, b_bn = bn_folded_affine(s, b, m, v, self.norm.eps)
+                residual = qconv(
+                    x, w, self.stride, 0, bn_affine=(a_bn, b_bn),
+                    out_amax=bn_amax(a_bn, b_bn, k=float(cfg.TPU.INT8_K)),
+                )
+                y = qadd(y, residual)
+            else:
+                residual = conv2d(
+                    self.channels[-1], 1, self.stride, 0, name="skip_conv"
+                )(x)
+                residual = self.norm.make("skip_bn")(
+                    residual, use_running_average=not train
+                )
+                y = y + residual
         elif self.skip_type == "sum":
-            y = y + residual
+            if int8:
+                from ...ops.quant import qadd
+
+                y = qadd(y, residual)
+            else:
+                y = y + residual
         return y
 
 
@@ -75,14 +102,36 @@ class Xception65(nn.Module):
     variant: str = "65"
     norm: NormConfig = NormConfig()
 
+    def _int8_mode(self, train: bool) -> bool:
+        from ...config import cfg
+
+        if train or self.is_initializing():
+            return False
+        if cfg.TPU.INT8_ACTIVATIONS not in (True, "full"):
+            return False  # "pw" handles itself inside SeparableConv2d
+        return self.norm.bn_type in ("BN", "SyncBN", "FrozenBN")
+
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple:
+        from ...ops.quant import QTensor, dequantize, qrelu, quantize_static
+
         if self.output_stride == 16:
             entry3_stride, middle_dilation, exit_dilations = 2, 1, (1, 2)
         elif self.output_stride == 8:
             entry3_stride, middle_dilation, exit_dilations = 1, 2, (2, 4)
         else:
             raise ValueError(f"output_stride must be 8 or 16, got {self.output_stride}")
+
+        int8 = self._int8_mode(train)
+        if int8:
+            # normalized input images: |x| <~ (1-mean)/std ~= 2.6; a
+            # static amax of 4 keeps headroom without clipping
+            import jax.numpy as jnp
+
+            x = quantize_static(x, jnp.full((x.shape[-1],), 4.0, jnp.float32))
+
+        def tap(t):
+            return dequantize(t) if isinstance(t, QTensor) else t
 
         # entry flow
         x = ConvBNReLU(32, 3, 2, norm=self.norm, name="conv1")(x, train)
@@ -99,9 +148,9 @@ class Xception65(nn.Module):
             x = XceptionBlock(
                 (128, 128, 128), 2, norm=self.norm, relu_first=False, name="block1"
             )(x, train)
-        c1 = x  # low-level decoder tap: 128ch at stride 4
+        c1 = tap(x)  # low-level decoder tap: 128ch at stride 4
         x = XceptionBlock((256, 256, 256), 2, norm=self.norm, name="block2")(x, train)
-        c2 = x
+        c2 = tap(x)
         x = XceptionBlock(
             (728, 728, 728), entry3_stride, norm=self.norm, name="block3"
         )(x, train)
@@ -116,7 +165,7 @@ class Xception65(nn.Module):
                 norm=self.norm,
                 name=f"middle{i + 1}",
             )(x, train)
-        c3 = x
+        c3 = tap(x)
 
         # exit flow
         x = XceptionBlock(
@@ -135,8 +184,8 @@ class Xception65(nn.Module):
                 relu_first=False,
                 name=f"exit_sep{i + 1}",
             )(x, train)
-            x = nn.relu(x)
-        return c1, c2, c3, x
+            x = qrelu(x) if isinstance(x, QTensor) else nn.relu(x)
+        return c1, c2, c3, tap(x)
 
 
 @BACKBONE_REGISTRY.register(name="xception65")

@@ -59,7 +59,12 @@ def conv2d(
 
 
 class ConvBNReLU(nn.Module):
-    """Conv -> Norm -> activation (reference ``_ConvBNReLU``/``_ConvBNPReLU``)."""
+    """Conv -> Norm -> activation (reference ``_ConvBNReLU``/``_ConvBNPReLU``).
+
+    Accepts a ``QTensor`` (static-int8 inference path, ops/quant.py) and
+    then also RETURNS one: the conv runs s8 x s8 -> s32 on the MXU with
+    the folded-BN + relu + requant epilogue fused, so the materialized
+    activation stays int8 (traffic) and the matmul runs at int8 rate."""
 
     features: int
     kernel_size: Union[int, Sequence[int]] = 3
@@ -72,6 +77,29 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.quant import QTensor, bn_amax, bn_folded_affine, qconv
+
+        if isinstance(x, QTensor) and self.act not in (nn.relu, None):
+            from ..ops.quant import dequantize
+
+            x = dequantize(x)  # relu6 etc: epilogue only fuses plain relu
+        if isinstance(x, QTensor):
+            from ..config import cfg
+
+            in_ch = x.q.shape[-1]
+            k = _pair(self.kernel_size)
+            w = _SharedKernel(
+                (k[0], k[1], in_ch // self.groups, self.features), name="conv"
+            )()
+            s, b, m, v = _SharedBN(name="bn")(self.features)
+            a_bn, b_bn = bn_folded_affine(s, b, m, v, self.norm.eps)
+            amax = bn_amax(a_bn, b_bn, k=float(cfg.TPU.INT8_K))
+            return qconv(
+                x, w, self.stride, self.padding, self.dilation, self.groups,
+                bn_affine=(a_bn, b_bn), relu=self.act is not None,
+                out_amax=amax,
+            )
+
         x = conv2d(
             self.features,
             self.kernel_size,
@@ -167,8 +195,27 @@ class SeparableConv2d(nn.Module):
                 return tile
         return None
 
+    def _int8_pw_mode(self, train: bool) -> bool:
+        """Mixed precision-of-storage mode ("pw"): depthwise stays bf16
+        (its int8 lowering measured slower on v5e), but the dw->pw hop
+        is quantized so the pointwise matmul runs s8 x s8 on the MXU —
+        the fastest measured sepconv variant (BASELINE.md)."""
+        from ..config import cfg
+
+        if train or self.is_initializing():
+            return False
+        if cfg.TPU.INT8_ACTIVATIONS != "pw":
+            return False
+        return self.norm.bn_type in ("BN", "SyncBN", "FrozenBN")
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.quant import QTensor
+
+        if isinstance(x, QTensor):
+            return self._int8_forward(x)
+        if self._int8_pw_mode(train):
+            return self._int8_pw_forward(x)
         in_ch = x.shape[-1]
         if self._fusable(x, train):
             import os
@@ -207,6 +254,71 @@ class SeparableConv2d(nn.Module):
         x = conv2d(self.features, 1, 1, 0, 1, name="pointwise")(x)
         x = self.norm.make(name="pw_bn")(x, use_running_average=not train)
         return x
+
+    def _int8_pw_forward(self, x):
+        """bf16 depthwise -> folded-BN -> quantize (int8 materializes)
+        -> int8 pointwise -> folded-BN -> back to the input dtype."""
+        from ..config import cfg
+        from ..ops.quant import (
+            bn_amax, bn_folded_affine, qconv, quantize_static,
+        )
+
+        in_ch = x.shape[-1]
+        out_dtype = x.dtype
+        kk = _pair(self.kernel_size)
+        dw_k = _SharedKernel((kk[0], kk[1], 1, in_ch), name="depthwise")()
+        s1, b1, m1, v1 = _SharedBN(name="dw_bn")(in_ch)
+        pw_k = _SharedKernel((1, 1, in_ch, self.features), name="pointwise")()
+        s2, b2, m2, v2 = _SharedBN(name="pw_bn")(self.features)
+        a1, c1 = bn_folded_affine(s1, b1, m1, v1, self.norm.eps)
+        a2, c2 = bn_folded_affine(s2, b2, m2, v2, self.norm.eps)
+        if self.relu_first:
+            x = nn.relu(x)
+        d = _pair(self.dilation)
+        pad = (d[0] * (kk[0] - 1) // 2, d[1] * (kk[1] - 1) // 2)
+        y = jax.lax.conv_general_dilated(
+            x,
+            dw_k.astype(x.dtype),
+            window_strides=_pair(self.stride),
+            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            rhs_dilation=d,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=in_ch,
+            preferred_element_type=jnp.float32,
+        )
+        y = y * a1 + c1
+        q = quantize_static(y, bn_amax(a1, c1, k=float(cfg.TPU.INT8_K)))
+        y = qconv(q, pw_k, 1, 0, 1, bn_affine=(a2, c2))
+        return y.astype(out_dtype)
+
+    def _int8_forward(self, x):
+        """Static-int8 inference (ops/quant.py): relu in the int8
+        domain, both convs s8 x s8 -> s32 with folded-BN + requant
+        epilogues; the materialized dw/pw activations are int8."""
+        from ..config import cfg
+        from ..ops.quant import (
+            QTensor, bn_amax, bn_folded_affine, qconv, qrelu,
+        )
+
+        in_ch = x.q.shape[-1]
+        k = float(cfg.TPU.INT8_K)
+        kk = _pair(self.kernel_size)
+        dw_k = _SharedKernel((kk[0], kk[1], 1, in_ch), name="depthwise")()
+        s1, b1, m1, v1 = _SharedBN(name="dw_bn")(in_ch)
+        pw_k = _SharedKernel((1, 1, in_ch, self.features), name="pointwise")()
+        s2, b2, m2, v2 = _SharedBN(name="pw_bn")(self.features)
+        a1, c1 = bn_folded_affine(s1, b1, m1, v1, self.norm.eps)
+        a2, c2 = bn_folded_affine(s2, b2, m2, v2, self.norm.eps)
+        if self.relu_first:
+            x = qrelu(x)
+        y = qconv(
+            x, dw_k, self.stride, None, self.dilation, groups=in_ch,
+            bn_affine=(a1, c1), out_amax=bn_amax(a1, c1, k=k),
+        )
+        return qconv(
+            y, pw_k, 1, 0, 1, bn_affine=(a2, c2),
+            out_amax=bn_amax(a2, c2, k=k),
+        )
 
 
 class InvertedResidual(nn.Module):

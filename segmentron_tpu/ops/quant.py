@@ -1,0 +1,178 @@
+"""Static int8 activation quantization for the inference path.
+
+The flagship bench (DeepLabv3+/Xception-65 @1024x2048) sits AT the HBM
+bandwidth roofline in bf16 (BASELINE.md: 0.879 TFLOP, ~17 GB/img,
+819 GB/s -> ~48 img/s; backbone = 78% of time). The only remaining
+lever is traffic reduction: store every materialized backbone
+activation as int8 and feed the convolutions int8 x int8 -> int32
+directly (v5e MXU runs s8 at 2x bf16 TOPS), halving both activation
+and weight bytes on the hot path.
+
+Design (textbook static post-training quantization, TPU-shaped):
+
+- Activations carry a per-channel static scale derived from the BN
+  that produced them: post-BN channels are ~N(bias_c, scale_c^2) when
+  running stats match the data, so ``amax_c = |bias_c| + K*|scale_c|``
+  (K=6 default) bounds the range without any calibration pass. A
+  static scale is what lets the quantize step fuse into the producer
+  conv's epilogue and the int8 tensor be THE materialized buffer —
+  a dynamic (measured) scale would force an extra full pass over the
+  tensor and give back the bandwidth win.
+- Per-channel input scales are folded into the consumer's fp32 weights
+  before weight quantization (exact), so the conv itself sees plain
+  int8 operands; per-output-channel weight scales come back out in the
+  fp32 epilogue together with the folded BN affine.
+- ReLU is exact in the int8 domain (symmetric quantization, zero
+  zero-point): ``max(q, 0)``.
+- Residual adds dequantize both sides in-register, add, and requantize
+  with the conservative scale ``amax_a + amax_b``.
+
+Everything here is pure jittable functions over a ``QTensor``
+(int8 values + per-channel fp32 scale); the flax modules in
+``modules/basic.py`` / ``backbones/xception.py`` thread QTensors
+through the backbone when ``cfg.TPU.INT8_ACTIVATIONS`` is on.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "QTensor",
+    "bn_folded_affine",
+    "bn_amax",
+    "quantize_static",
+    "dequantize",
+    "fold_and_quantize_weights",
+    "qconv",
+    "qadd",
+    "qrelu",
+]
+
+
+class QTensor(NamedTuple):
+    """int8 activations + static per-channel (last-dim) fp32 scale."""
+
+    q: jax.Array      # int8, NHWC
+    scale: jax.Array  # (C,) f32; dequantized = q * scale
+
+
+def bn_folded_affine(scale, bias, mean, var, eps: float):
+    """BN as y = a*x + b (inference folding)."""
+    a = scale * jax.lax.rsqrt(var + eps)
+    b = bias - mean * a
+    return a, b
+
+
+def bn_amax(a, b, k: float = 6.0, floor: float = 1e-3):
+    """Per-channel |max| estimate of a post-BN activation.
+
+    With running stats matching the data the normalized variable is
+    ~N(0,1), so the affine output is ~N(b_c, a_c^2): |b_c| + k*|a_c|
+    bounds it at k sigma. Conservative (clipping hurts more than an
+    extra bit of range noise)."""
+    return jnp.maximum(jnp.abs(b) + k * jnp.abs(a), floor)
+
+
+def quantize_static(x, amax) -> QTensor:
+    """f32/bf16 NHWC -> int8 with the given per-channel amax."""
+    scale = (amax / 127.0).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127.0, 127.0
+    ).astype(jnp.int8)
+    return QTensor(q, scale)
+
+
+def dequantize(t: QTensor, dtype=jnp.float32):
+    return (t.q.astype(jnp.float32) * t.scale).astype(dtype)
+
+
+def qrelu(t: QTensor) -> QTensor:
+    """Exact ReLU in the int8 domain (symmetric quant, zero-point 0)."""
+    return QTensor(jnp.maximum(t.q, 0), t.scale)
+
+
+def qadd(a: QTensor, b: QTensor) -> QTensor:
+    """Residual add: dequant both in-register, requant at the
+    conservative combined range (amax_a + amax_b)."""
+    y = a.q.astype(jnp.float32) * a.scale + b.q.astype(jnp.float32) * b.scale
+    amax = (a.scale + b.scale) * 127.0
+    return quantize_static(y, amax)
+
+
+def fold_and_quantize_weights(
+    w, in_scale, groups: int = 1
+) -> Tuple[jax.Array, jax.Array]:
+    """Fold the producer's per-input-channel scales into fp32 HWIO
+    weights, then per-output-channel symmetric int8 quantization.
+
+    Returns (w_q int8 HWIO, s_w (O,) f32). For depthwise convs
+    (groups == C, I == 1) the input channel c feeds output channel
+    c*mult, so the fold runs over the O axis instead."""
+    w = w.astype(jnp.float32)
+    if groups == 1:
+        w_eff = w * in_scale[None, None, :, None]
+    else:
+        # depthwise: I == in_channels/groups == 1; O == groups * mult.
+        mult = w.shape[-1] // groups
+        fold = jnp.repeat(in_scale, mult)
+        w_eff = w * fold[None, None, None, :]
+    s_w = jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)) / 127.0
+    s_w = jnp.maximum(s_w, 1e-12)
+    w_q = jnp.clip(jnp.round(w_eff / s_w), -127.0, 127.0).astype(jnp.int8)
+    return w_q, s_w
+
+
+def qconv(
+    x: QTensor,
+    w,
+    stride: Union[int, Sequence[int]],
+    padding,
+    dilation: Union[int, Sequence[int]] = 1,
+    groups: int = 1,
+    bn_affine: Optional[Tuple[jax.Array, jax.Array]] = None,
+    relu: bool = False,
+    out_amax=None,
+) -> Union[QTensor, jax.Array]:
+    """int8 convolution with a fused fp32 epilogue.
+
+    conv(q_x, q_w) accumulates in int32 on the MXU; the epilogue applies
+    the weight scales (input scales are pre-folded into the weights),
+    the folded BN affine, optional ReLU, and — when ``out_amax`` is
+    given — requantizes so the materialized output is int8 again.
+    Returns a QTensor (out_amax set) or an fp32 array (boundary back to
+    the bf16 world, e.g. a c1..c4 feature tap)."""
+    def _pair(v):
+        return (v, v) if isinstance(v, int) else tuple(v)
+
+    k = w.shape[:2]
+    d = _pair(dilation)
+    if padding is None:
+        padding = (d[0] * (k[0] - 1) // 2, d[1] * (k[1] - 1) // 2)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+
+    w_q, s_w = fold_and_quantize_weights(w, x.scale, groups)
+    acc = jax.lax.conv_general_dilated(
+        x.q,
+        w_q,
+        window_strides=_pair(stride),
+        padding=pad,
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s_w
+    if bn_affine is not None:
+        a, b = bn_affine
+        y = y * a + b
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if out_amax is None:
+        return y
+    return quantize_static(y, out_amax)
