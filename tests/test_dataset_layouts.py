@@ -127,6 +127,54 @@ def test_ade20k_layout_and_label_shift(tmp_path):
     assert (m[:16] == 0).all() and (m[16:24] == 149).all() and (m[24:] == -1).all()
 
 
+# -------------------------------------------------------------- sbu shadow
+def test_sbu_layout_and_binarization(tmp_path):
+    root = str(tmp_path / "sbu")
+    sub = f"{root}/SBU-Test"
+    m = np.zeros((32, 48), np.uint8)
+    m[:16] = 255  # shadow
+    m[16:24] = 60  # below threshold -> background
+    _jpg(f"{sub}/ShadowImages/a.jpg")
+    _png(f"{sub}/ShadowMasks/a.png", m)
+    _jpg(f"{sub}/ShadowImages/unpaired.jpg")  # no mask -> skipped
+
+    ds = get_segmentation_dataset("sbu", root=root, split="val",
+                                  mode="testval")
+    assert len(ds) == 1  # unpaired image filtered out
+    _, mask, _ = ds[0]
+    assert (mask[:16] == 1).all() and (mask[16:] == 0).all()
+
+
+# ---------------------------------------------------------------- trans10k
+def test_trans10k_layout(tmp_path):
+    root = str(tmp_path / "Trans10K_cls12")
+    sub = f"{root}/validation"
+    m = np.zeros((32, 48), np.uint8)
+    m[:8] = 11
+    _jpg(f"{sub}/images/t1.jpg")
+    _png(f"{sub}/masks_12/t1_mask.png", m)
+
+    ds = get_segmentation_dataset("trans10k", root=root, split="val",
+                                  mode="testval")
+    assert len(ds) == 1
+    _, mask, _ = ds[0]
+    assert (mask[:8] == 11).all() and (mask[8:] == 0).all()
+
+
+def test_coco_requires_pycocotools(tmp_path):
+    """pycocotools isn't in this image: the loader must gate with a
+    clear ImportError, not an obscure NameError later."""
+    pytest.importorskip  # noqa: B018 - we *want* the negative path here
+    try:
+        import pycocotools  # noqa: F401
+        pytest.skip("pycocotools present; negative-path test not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="pycocotools"):
+        get_segmentation_dataset("coco", root=str(tmp_path), split="val",
+                                 mode="testval")
+
+
 # -------------------------------------------- train mode through a real tree
 def test_cityscapes_train_mode_static_shapes(tmp_path, fresh_cfg):
     """Train transforms over a real Cityscapes tree produce static
