@@ -180,6 +180,19 @@ cfg.TPU.INT8_ACTIVATIONS = False  # static-int8 backbone inference
 #   BN statistics — no calibration pass. Eval-only; accuracy/perf
 #   deltas documented in BASELINE.md.
 cfg.TPU.INT8_K = 6.0  # BN-sigma multiple bounding the activation range
+cfg.TPU.FUSED_SEPCONV_V3 = False  # in INT8_ACTIVATIONS="pw" mode, run
+#   large stride-1 sepconvs through the fused v3 Pallas kernel
+#   (ops/sepconv.py): halo rows fetched as overlapping BlockSpec
+#   streams (nothing materialized XLA-side, unlike v2), dw->pw requant
+#   in-register, s8 x s8 MXU pointwise. Measured FASTER than the XLA
+#   pw path on every gated entry-flow shape standalone (up to 1.6x per
+#   layer) and pallas->pallas chaining is free, BUT each XLA-conv ->
+#   pallas boundary costs ~1.3 ms in relayout copies at entry-flow
+#   sizes (measured, BASELINE.md) — so scattering single fused layers
+#   between XLA convs is a model-level REGRESSION (35 vs 55 img/s).
+#   Off until the entry flow runs as one unbroken pallas chain.
+cfg.TPU.FUSED_SEPCONV_MIN_BYTES = 80 * 1024 * 1024  # v3 gate: in+out
+#   bf16 traffic below this measured faster on the XLA path
 
 # ---------------------------------------------------------------- utils
 cfg.UTILS = SegmentronConfig()

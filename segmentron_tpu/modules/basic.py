@@ -255,9 +255,48 @@ class SeparableConv2d(nn.Module):
         x = self.norm.make(name="pw_bn")(x, use_running_average=not train)
         return x
 
+    def _v3_tile(self, x) -> Optional[int]:
+        """tile_h for the fused v3 Pallas sepconv, or None for the XLA
+        path. Gated on shape (stride-1 3x3, big enough that the fused
+        kernel measured FASTER than XLA on v5e — BASELINE.md table:
+        wins start around 80 MB of in+out traffic) and VMEM fit."""
+        import os
+
+        from ..config import cfg
+        from ..ops.sepconv import v3_vmem_ok
+
+        if not bool(cfg.TPU.FUSED_SEPCONV_V3):
+            return None
+        interpret = os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
+        if not interpret and jax.default_backend() != "tpu":
+            return None
+        if _pair(self.kernel_size) != (3, 3) or _pair(self.stride) != (1, 1):
+            return None
+        d = _pair(self.dilation)
+        if d[0] != d[1]:
+            return None
+        n, h, w, c = x.shape
+        co = self.features
+        if h * w * (c + co) * 2 < int(cfg.TPU.FUSED_SEPCONV_MIN_BYTES):
+            return None
+        for tile in (8, 4):
+            if (
+                tile % d[0] == 0
+                and h % tile == 0
+                and h >= 2 * tile
+                and v3_vmem_ok(h, w, c, co, d[0], tile)
+            ):
+                return tile
+        return None
+
     def _int8_pw_forward(self, x):
         """bf16 depthwise -> folded-BN -> quantize (int8 materializes)
-        -> int8 pointwise -> folded-BN -> back to the input dtype."""
+        -> int8 pointwise -> folded-BN -> back to the input dtype.
+
+        Large stride-1 layers instead run the fused v3 Pallas kernel
+        (``ops/sepconv.py``): same math, but the dw intermediate and
+        its int8 copy never touch HBM and the requant happens
+        in-register before an s8 x s8 MXU matmul."""
         from ..config import cfg
         from ..ops.quant import (
             bn_amax, bn_folded_affine, qconv, quantize_static,
@@ -272,6 +311,23 @@ class SeparableConv2d(nn.Module):
         s2, b2, m2, v2 = _SharedBN(name="pw_bn")(self.features)
         a1, c1 = bn_folded_affine(s1, b1, m1, v1, self.norm.eps)
         a2, c2 = bn_folded_affine(s2, b2, m2, v2, self.norm.eps)
+
+        tile = self._v3_tile(x)
+        if tile is not None:
+            import os
+
+            from ..ops.sepconv import fold_sepconv_int8, fused_sepconv_infer_v3
+
+            ms, mb, wq, osc = fold_sepconv_int8(
+                a1, c1, pw_k, a2, k_sigma=float(cfg.TPU.INT8_K)
+            )
+            return fused_sepconv_infer_v3(
+                x, dw_k, ms, mb, wq, osc, c2,
+                dilation=_pair(self.dilation)[0], pre_relu=self.relu_first,
+                tile_h=tile, int8_dot=True,
+                interpret=os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1",
+            )
+
         if self.relu_first:
             x = nn.relu(x)
         d = _pair(self.dilation)

@@ -28,7 +28,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_sepconv_infer", "sepconv_ref", "sepconv_vmem_ok"]
+__all__ = [
+    "fold_sepconv_int8",
+    "fused_sepconv_infer",
+    "fused_sepconv_infer_v3",
+    "sepconv_ref",
+    "sepconv_vmem_ok",
+    "v3_vmem_ok",
+]
+
+
+def fold_sepconv_int8(mid_scale, mid_bias, pw_kernel, out_scale, k_sigma=6.0):
+    """Fold the dw->pw requant scale for ``fused_sepconv_infer_v3``'s
+    ``int8_dot`` path: mid affine coefficients absorb 1/s_mid (so the
+    kernel only rounds), the pointwise weights are per-out-channel int8
+    with the per-IN-channel s_mid pre-folded (exact), and the weight
+    scales ride out on the output affine. Numerics match the XLA
+    "pw"-mode path in ``ops/quant.py`` (same bn_amax static ranges).
+    """
+    from .quant import bn_amax, fold_and_quantize_weights
+
+    c = pw_kernel.shape[-2] if pw_kernel.ndim == 4 else pw_kernel.shape[0]
+    pw = pw_kernel.reshape(c, -1)
+    amax = bn_amax(mid_scale, mid_bias, k=k_sigma)
+    s_mid = amax / 127.0
+    w_q, s_w = fold_and_quantize_weights(
+        pw[None, None].astype(jnp.float32), s_mid
+    )
+    return (
+        mid_scale / s_mid,
+        mid_bias / s_mid,
+        w_q.reshape(c, -1),
+        out_scale.astype(jnp.float32) * s_w,
+    )
 
 
 def sepconv_ref(x, dw_kernel, mid_scale, mid_bias, pw_kernel, out_scale,
@@ -226,6 +258,149 @@ def fused_sepconv_infer_v2(
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
         interpret=interpret,
     )(x, tops, bots, dw_kernel, mid, pw_kernel, osb)
+    return out
+
+
+def v3_vmem_ok(h: int, w: int, c: int, co: int, d: int, tile_h: int,
+               budget: int = 28 * 1024 * 1024) -> bool:
+    """Live-buffer VMEM estimate for ``fused_sepconv_infer_v3``. The
+    budget is empirical: every flagship entry-flow shape up to
+    (tile 8, w 1024, c 728) estimate ~27.6 MB compiled and ran on v5e;
+    anything estimated larger falls back to a smaller tile / XLA."""
+    center = 2 * tile_h * w * c * 2           # double-buffered input
+    halos = 4 * d * w * c * 2
+    xt = (tile_h + 2 * d) * (w + 2 * d) * c * 2
+    acc = tile_h * w * c * 4                  # fp32 dw accumulator
+    out = 2 * tile_h * w * co * 2 + tile_h * w * co * 4
+    wts = c * co * 2 + 9 * c * 4 + 2 * (c + co) * 4
+    return (center + halos + xt + acc + out + wts) < budget
+
+
+def _kernel_v3(x_ref, top_ref, bot_ref, dwk_ref, mid_ref, pwk_ref,
+               osb_ref, o_ref, *, tile_h: int, d: int, pre_relu: bool,
+               w: int, int8_dot: bool):
+    """v3: halo rows arrive as two thin OVERLAPPING block streams over
+    the same input array (index maps offset by ±1 d-row-block, clamped
+    at the edges and masked to zero here) — nothing is materialized on
+    the XLA side and Mosaic pipelines all three streams. Optionally the
+    depthwise output is quantized in-register so the pointwise runs
+    s8 x s8 -> s32 on the MXU (2x bf16 rate); the quantization never
+    touches HBM so it is numerically identical to the shipped
+    "pw"-mode XLA path (ops/quant.py) minus its int8 round-trip."""
+    i = pl.program_id(1)
+    nt = pl.num_programs(1)
+    top = top_ref[0]
+    bot = bot_ref[0]
+    top = jnp.where(i == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(i == nt - 1, jnp.zeros_like(bot), bot)
+    xt = jnp.concatenate([top, x_ref[0], bot], axis=0)
+    if pre_relu:
+        xt = jnp.maximum(xt, 0)
+    xt = jnp.pad(xt, ((0, 0), (d, d), (0, 0)))
+
+    dwk = dwk_ref[...].astype(jnp.float32)  # (3, 3, C)
+    acc = jnp.zeros((tile_h, w, xt.shape[-1]), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            win = xt[ky * d : ky * d + tile_h, kx * d : kx * d + w].astype(
+                jnp.float32
+            )
+            acc = acc + win * dwk[ky, kx][None, None, :]
+
+    # mid affine; for int8_dot the 1/s_mid requant scale is pre-folded
+    # into these coefficients, so rounding is all that is left to do
+    mid = mid_ref[...].astype(jnp.float32)  # (2, C)
+    acc = acc * mid[0][None, None, :] + mid[1][None, None, :]
+
+    c = pwk_ref.shape[0]
+    if int8_dot:
+        q = jnp.clip(jnp.round(acc), -127.0, 127.0).astype(jnp.int8)
+        out = jnp.dot(
+            q.reshape(tile_h * w, c), pwk_ref[...],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        out = jnp.dot(
+            acc.reshape(tile_h * w, c).astype(pwk_ref.dtype), pwk_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+    osb = osb_ref[...].astype(jnp.float32)  # (2, Co)
+    out = out * osb[0][None, :] + osb[1][None, :]
+    o_ref[0] = out.reshape(tile_h, w, -1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "pre_relu", "tile_h", "int8_dot",
+                     "interpret"),
+)
+def fused_sepconv_infer_v3(
+    x, dw_kernel, mid_scale, mid_bias, pw_kernel, out_scale, out_bias,
+    dilation: int = 1, pre_relu: bool = False, tile_h: int = 8,
+    int8_dot: bool = False, interpret: bool = False,
+):
+    """Fused [relu->]dw3x3->BN->pw1x1->BN with halo rows fetched as two
+    thin overlapping BlockSpec streams over ``x`` itself (v2 built them
+    in XLA, which materialized extra copies of the input — the reason
+    it lost to XLA model-level, BASELINE.md).
+
+    With ``int8_dot`` the depthwise output is rounded to int8 entirely
+    in VMEM and the pointwise matmul runs s8 x s8 -> s32; callers pass
+    ``mid_scale/mid_bias`` pre-divided by the requant scale, an int8
+    ``pw_kernel``, and ``out_scale`` carrying the weight scales (see
+    ``SeparableConv2d._int8_pw_forward``).
+
+    Requires h % tile_h == 0 and tile_h % dilation == 0.
+    """
+    n, h, w, c = x.shape
+    d = dilation
+    if dw_kernel.ndim == 4:
+        dw_kernel = dw_kernel.reshape(3, 3, c)
+    if pw_kernel.ndim == 4:
+        pw_kernel = pw_kernel.reshape(c, -1)
+    co = pw_kernel.shape[-1]
+    assert h % tile_h == 0 and tile_h % d == 0 and h >= 2 * tile_h, (
+        h, tile_h, d)
+    nt = h // tile_h
+    k = tile_h // d  # d-row blocks per tile
+    nd = h // d      # total d-row blocks in x
+    mid = jnp.stack([mid_scale, mid_bias]).astype(jnp.float32)
+    osb = jnp.stack([out_scale, out_bias]).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v3, tile_h=tile_h, d=d, pre_relu=pre_relu, w=w,
+            int8_dot=int8_dot,
+        ),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile_h, w, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # top halo: the d rows above the tile = d-row-block i*k - 1
+            # of x itself (clamped; kernel zero-masks the i == 0 edge)
+            pl.BlockSpec(
+                (1, d, w, c),
+                lambda b, i: (b, jnp.maximum(i * k - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # bottom halo: the d rows below = d-row-block (i+1)*k (clamped)
+            pl.BlockSpec(
+                (1, d, w, c),
+                lambda b, i: (b, jnp.minimum((i + 1) * k, nd - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, co), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
+        interpret=interpret,
+    )(x, x, x, dw_kernel, mid, pw_kernel, osb)
     return out
 
 
