@@ -64,7 +64,7 @@ def main():
     cfg.DATASET.NAME = "cityscapes"
     cfg.MODEL.MODEL_NAME = "DeepLabV3_Plus"
     cfg.MODEL.BACKBONE = "xception65"
-    cfg.MODEL.OUTPUT_STRIDE = 16
+    cfg.MODEL.OUTPUT_STRIDE = int(os.environ.get("BENCH_OS", 16))
     cfg.SOLVER.AUX = False
     int8_env = os.environ.get("BENCH_INT8", "pw")
     cfg.TPU.INT8_ACTIVATIONS = {"1": True, "full": True, "pw": "pw"}.get(
@@ -104,16 +104,29 @@ def main():
 
     @jax.jit
     def timed_loop(v, images, n):
+        # The anti-hoisting dependence chain runs through the PARAMS
+        # (eps = 0*acc added to every float leaf), not the input image:
+        # perturbing the input forces the carried (1,H,W,3) buffer into
+        # a conv-preferred layout, and any custom call downstream then
+        # makes XLA insert a full input relayout copy EVERY iteration
+        # (~milliseconds, observed in optimized HLO) — poisoning the
+        # measurement of pallas-containing graphs. Param leaves are
+        # tiny, so the perturbation pass is noise.
         def body(i, carry):
-            acc, img = carry
-            out = forward(v, img)
+            acc, eps = carry
+            vp = jax.tree.map(
+                lambda a: a + eps.astype(a.dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                v,
+            )
+            out = forward(vp, images)
             acc = acc + out.mean().astype(jnp.float32)
-            # dependence chain: next input depends on this output, so XLA
-            # cannot hoist the loop body
-            img = img * (1.0 + 0.0 * acc).astype(img.dtype)
-            return acc, img
+            return acc, 0.0 * acc
 
-        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), images))
+        acc, _ = jax.lax.fori_loop(
+            0, n, body, (jnp.float32(0.0), jnp.float32(0.0))
+        )
         return acc
 
     iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 1))

@@ -41,9 +41,126 @@ class XceptionBlock(nn.Module):
     relu_first: bool = True
     norm: NormConfig = NormConfig()
 
+    def _fused_chain(self, x, train: bool) -> bool:
+        """True when the whole block should run as one pallas chain
+        (v3 sepconv kernels + fused block-end, ops/sepconv.py): eval,
+        "pw" int8 mode, big entry-flow-scale tensors. pallas->pallas
+        hops are free while every XLA-conv<->pallas boundary costs a
+        relayout copy, so fusion is all-or-nothing per block."""
+        import os
+
+        import jax
+
+        from ...config import cfg
+        from ...ops.sepconv import v3_skip_vmem_ok
+
+        if train or self.is_initializing():
+            return False
+        if cfg.TPU.INT8_ACTIVATIONS != "pw" or not bool(
+            cfg.TPU.FUSED_SEPCONV_V3
+        ):
+            return False
+        if self.norm.bn_type not in ("BN", "SyncBN", "FrozenBN"):
+            return False
+        interpret = os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
+        if not interpret and jax.default_backend() != "tpu":
+            return False
+        # 'sum' (middle-flow) blocks only: a uniform pallas chain with
+        # one XLA boundary at each end measured 1.69x faster than XLA
+        # at OS8 full-res (15.7 vs 26.5 ms). 'conv'-skip (entry) blocks
+        # measured NET SLOWER in-model (46.8 vs 54.1 img/s) — their
+        # XLA-conv neighbors (stem, decoder taps) force relayout
+        # copies at every chain edge and XLA's in-context conv fusion
+        # is stronger at those shapes. Kernel support for 'conv'/stride
+        # is kept (tested) for future stem-in-pallas work.
+        if self.skip_type != "sum" or self.stride != 1:
+            return False
+        if x.shape[-1] != self.channels[-1]:
+            return False
+        n, h, w, c = x.shape
+        t_in = 2 * self.stride * self.dilation  # smallest viable tile
+        if h % t_in or w % self.stride or h < 2 * t_in:
+            return False
+        if (
+            h * w * (c + self.channels[0]) * 2
+            < int(cfg.TPU.FUSED_SEPCONV_MIN_BYTES)
+        ):
+            return False
+        return v3_skip_vmem_ok(
+            h, w, self.channels[-2], c, self.channels[-1], self.dilation,
+            self.stride, t_out=2,
+        )
+
+    def _end_tile(self, h, w, c, cin, co):
+        from ...ops.sepconv import v3_skip_vmem_ok
+
+        d, s = self.dilation, self.stride
+        for t_out in (8, 4, 2):
+            t_in = s * t_out
+            if (
+                t_in % d == 0
+                and h % t_in == 0
+                and h >= 2 * t_in
+                and v3_skip_vmem_ok(h, w, c, cin, co, d, s, t_out)
+            ):
+                return t_out
+        return None
+
+    def _fused_forward(self, x):
+        """The whole block as one pallas chain: sep1/sep2 through the
+        v3 kernel (chain=True), sep3 + the residual through the fused
+        block-end kernel. Same parameter tree as the regular path
+        (shadow declarations)."""
+        import os
+
+        from ...config import cfg
+        from ...modules.basic import _SepParams, _SharedBN, _SharedKernel
+        from ...ops.quant import bn_folded_affine
+        from ...ops.sepconv import (
+            fold_sepconv_int8, fused_sepconv_infer_v3_skip,
+        )
+
+        interpret = os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
+        y = x
+        for i, ch in enumerate(self.channels[:-1]):
+            y = SeparableConv2d(
+                ch, 3, stride=1, dilation=self.dilation, norm=self.norm,
+                relu_first=self.relu_first, chain=True, name=f"sep{i + 1}",
+            )(y, False)
+        in_ch = y.shape[-1]
+        co = self.channels[-1]
+        dw, (s1, b1, m1, v1), pw, (s2, b2, m2, v2) = _SepParams(
+            co, name=f"sep{len(self.channels)}"
+        )(in_ch)
+        a1, c1 = bn_folded_affine(s1, b1, m1, v1, self.norm.eps)
+        a2, c2 = bn_folded_affine(s2, b2, m2, v2, self.norm.eps)
+        ms, mb, wq, osc = fold_sepconv_int8(
+            a1, c1, pw, a2, k_sigma=float(cfg.TPU.INT8_K)
+        )
+        n, h, w, _ = y.shape
+        tile = self._end_tile(h, w, in_ch, x.shape[-1], co)
+        if self.skip_type == "conv":
+            skw = _SharedKernel((1, 1, x.shape[-1], co), name="skip_conv")()
+            ss, sbb, sm, sv = _SharedBN(name="skip_bn")(co)
+            sa, sc = bn_folded_affine(ss, sbb, sm, sv, self.norm.eps)
+            return fused_sepconv_infer_v3_skip(
+                y, x, dw, ms, mb, wq, osc, c2, skw, sa, sc,
+                dilation=self.dilation, stride=self.stride,
+                pre_relu=self.relu_first, tile_out=tile, int8_dot=True,
+                skip="conv", interpret=interpret,
+            )
+        return fused_sepconv_infer_v3_skip(
+            y, x, dw, ms, mb, wq, osc, c2,
+            dilation=self.dilation, stride=1, pre_relu=self.relu_first,
+            tile_out=tile, int8_dot=True, skip="sum", interpret=interpret,
+        )
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ...ops.quant import QTensor
+
+        if self._fused_chain(x, train):
+            return self._fused_forward(x)
 
         int8 = isinstance(x, QTensor)
         residual = x

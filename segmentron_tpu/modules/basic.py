@@ -139,6 +139,23 @@ class _SharedBN(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+class _SepParams(nn.Module):
+    """Shadow declaration of a ``SeparableConv2d``'s variables (same
+    scope/param names) so a block-fused kernel can read the weights the
+    regular module owns. Returns (dw_kernel, dw_bn, pw_kernel, pw_bn)
+    with each bn as (scale, bias, mean, var)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        dw = _SharedKernel((3, 3, 1, in_ch), name="depthwise")()
+        bn1 = _SharedBN(name="dw_bn")(in_ch)
+        pw = _SharedKernel((1, 1, in_ch, self.features), name="pointwise")()
+        bn2 = _SharedBN(name="pw_bn")(self.features)
+        return dw, bn1, pw, bn2
+
+
 class SeparableConv2d(nn.Module):
     """Depthwise 3x3 (+norm[/relu]) then pointwise 1x1 (+norm).
 
@@ -160,6 +177,10 @@ class SeparableConv2d(nn.Module):
     dilation: Union[int, Sequence[int]] = 1
     norm: NormConfig = NormConfig()
     relu_first: bool = True
+    chain: bool = False  # set by XceptionBlock when the whole block is
+    #   a pallas chain: forces the v3 kernel (pallas->pallas hops are
+    #   free; isolated pallas layers between XLA convs pay ~1.3 ms of
+    #   relayout per boundary — BASELINE.md)
 
     def _fusable(self, x, train: bool) -> bool:
         from ..config import cfg
@@ -257,15 +278,15 @@ class SeparableConv2d(nn.Module):
 
     def _v3_tile(self, x) -> Optional[int]:
         """tile_h for the fused v3 Pallas sepconv, or None for the XLA
-        path. Gated on shape (stride-1 3x3, big enough that the fused
-        kernel measured FASTER than XLA on v5e — BASELINE.md table:
-        wins start around 80 MB of in+out traffic) and VMEM fit."""
+        path. Only ``chain=True`` layers (inside an XceptionBlock that
+        runs block-fused) use the kernel: isolated pallas layers lose
+        their per-layer win to the XLA<->pallas relayout boundaries."""
         import os
 
         from ..config import cfg
         from ..ops.sepconv import v3_vmem_ok
 
-        if not bool(cfg.TPU.FUSED_SEPCONV_V3):
+        if not self.chain or not bool(cfg.TPU.FUSED_SEPCONV_V3):
             return None
         interpret = os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
         if not interpret and jax.default_backend() != "tpu":
@@ -277,8 +298,6 @@ class SeparableConv2d(nn.Module):
             return None
         n, h, w, c = x.shape
         co = self.features
-        if h * w * (c + co) * 2 < int(cfg.TPU.FUSED_SEPCONV_MIN_BYTES):
-            return None
         for tile in (8, 4):
             if (
                 tile % d[0] == 0

@@ -32,8 +32,10 @@ __all__ = [
     "fold_sepconv_int8",
     "fused_sepconv_infer",
     "fused_sepconv_infer_v3",
+    "fused_sepconv_infer_v3_skip",
     "sepconv_ref",
     "sepconv_vmem_ok",
+    "v3_skip_vmem_ok",
     "v3_vmem_ok",
 ]
 
@@ -262,11 +264,12 @@ def fused_sepconv_infer_v2(
 
 
 def v3_vmem_ok(h: int, w: int, c: int, co: int, d: int, tile_h: int,
-               budget: int = 28 * 1024 * 1024) -> bool:
-    """Live-buffer VMEM estimate for ``fused_sepconv_infer_v3``. The
-    budget is empirical: every flagship entry-flow shape up to
-    (tile 8, w 1024, c 728) estimate ~27.6 MB compiled and ran on v5e;
-    anything estimated larger falls back to a smaller tile / XLA."""
+               budget: int = 23 * 1024 * 1024) -> bool:
+    """Live-buffer VMEM estimate for ``fused_sepconv_infer_v3``,
+    calibrated like :func:`v3_skip_vmem_ok` (overcounts XLA's scoped
+    vmem by ~1.45x; limit 16 MB). Every flagship entry-flow shape up
+    to (tile 8, w 1024, c 728) compiled and ran on v5e under this
+    budget; anything estimated larger falls back to a smaller tile."""
     center = 2 * tile_h * w * c * 2           # double-buffered input
     halos = 4 * d * w * c * 2
     xt = (tile_h + 2 * d) * (w + 2 * d) * c * 2
@@ -323,10 +326,228 @@ def _kernel_v3(x_ref, top_ref, bot_ref, dwk_ref, mid_ref, pwk_ref,
         out = jnp.dot(
             acc.reshape(tile_h * w, c).astype(pwk_ref.dtype), pwk_ref[...],
             preferred_element_type=jnp.float32,
+            precision=_f32_precision(pwk_ref.dtype),
         )
     osb = osb_ref[...].astype(jnp.float32)  # (2, Co)
     out = out * osb[0][None, :] + osb[1][None, :]
     o_ref[0] = out.reshape(tile_h, w, -1).astype(o_ref.dtype)
+
+
+def _sepconv_core(xt, dwk_ref, mid_ref, pwk_ref, osb_ref, *, t_out: int,
+                  d: int, stride: int, w: int, int8_dot: bool,
+                  pre_relu: bool):
+    """Shared v3 kernel body: [relu ->] strided/dilated dw 3x3 ->
+    folded-BN [-> int8 requant] -> pointwise matmul -> folded-BN.
+    ``xt`` is the haloed row tile (stride*t_out + 2d rows, w cols).
+
+    Mosaic cannot extract stride-2 vector slices, so stride 2 is
+    handled as: rows deinterleaved for free by splitting the UNTILED
+    leading dim (reshape touches neither sublane nor lane dims),
+    columns computed at FULL width — the caller subsamples columns
+    with one cheap XLA slice after the pallas call. Returns the fp32
+    (t_out, w, Co) pre-skip output (full width even when strided)."""
+    if pre_relu:
+        xt = jnp.maximum(xt, 0)
+    xt = jnp.pad(xt, ((0, 0), (d, d), (0, 0)))
+    c = pwk_ref.shape[0]
+    if stride == 1:
+        def sel(ky):
+            return xt[ky * d : ky * d + t_out]
+    else:  # stride 2: row r of the output tile reads source row 2r+ky*d
+        xtr = xt.reshape(xt.shape[0] // 2, 2, w + 2 * d, xt.shape[-1])
+
+        def sel(ky):
+            o, p = (ky * d) // 2, (ky * d) % 2
+            return xtr[o : o + t_out, p]
+
+    dwk = dwk_ref[...].astype(jnp.float32)  # (3, 3, C)
+    acc = jnp.zeros((t_out, w, xt.shape[-1]), jnp.float32)
+    for ky in range(3):
+        rows = sel(ky)
+        for kx in range(3):
+            win = rows[:, kx * d : kx * d + w].astype(jnp.float32)
+            acc = acc + win * dwk[ky, kx][None, None, :]
+    mid = mid_ref[...].astype(jnp.float32)  # (2, C)
+    acc = acc * mid[0][None, None, :] + mid[1][None, None, :]
+
+    if int8_dot:
+        q = jnp.clip(jnp.round(acc), -127.0, 127.0).astype(jnp.int8)
+        out = jnp.dot(
+            q.reshape(t_out * w, c), pwk_ref[...],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        out = jnp.dot(
+            acc.reshape(t_out * w, c).astype(pwk_ref.dtype), pwk_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=_f32_precision(pwk_ref.dtype),
+        )
+    osb = osb_ref[...].astype(jnp.float32)  # (2, Co)
+    return out.reshape(t_out, w, -1) * osb[0] + osb[1]
+
+
+def _f32_precision(dtype):
+    """HIGHEST for f32 operands so fp32 parity tests are exact (the
+    default f32 matmul precision is reduced); None (native MXU) for
+    the production bf16/int8 operands."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def _kernel_v3_skip(x_ref, top_ref, bot_ref, xin_ref, dwk_ref, mid_ref,
+                    pwk_ref, osb_ref, skw_ref, ska_ref, o_ref, *,
+                    t_out: int, d: int, stride: int, pre_relu: bool,
+                    w: int, int8_dot: bool, skip: str):
+    """v3 block-end kernel: the main sepconv (optionally strided) plus
+    the block's residual — either the reference 1x1(+BN) conv skip
+    computed in-kernel as one MXU matmul over the stride-picked input
+    rows/cols, or an identity 'sum' skip — fused into the epilogue, so
+    a whole XceptionBlock chains pallas->pallas with no XLA boundary
+    (each XLA<->pallas hop costs a relayout copy, BASELINE.md)."""
+    i = pl.program_id(1)
+    nt = pl.num_programs(1)
+    top = top_ref[0]
+    bot = bot_ref[0]
+    top = jnp.where(i == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(i == nt - 1, jnp.zeros_like(bot), bot)
+    xt = jnp.concatenate([top, x_ref[0], bot], axis=0)
+    out = _sepconv_core(
+        xt, dwk_ref, mid_ref, pwk_ref, osb_ref, t_out=t_out, d=d,
+        stride=stride, w=w, int8_dot=int8_dot, pre_relu=pre_relu,
+    )
+    if skip == "conv":
+        xin = xin_ref[0]
+        if stride > 1:
+            # even rows only (free leading-dim deinterleave); columns
+            # stay full width — the caller's post-slice picks col 2j,
+            # which lands exactly on xin[2r, 2j] as the 1x1 stride-2
+            # skip conv requires.
+            xin = xin.reshape(xin.shape[0] // 2, 2, w, xin.shape[-1])[:, 0]
+        cin = xin.shape[-1]
+        sk = jnp.dot(
+            xin.reshape(t_out * w, cin).astype(skw_ref.dtype),
+            skw_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=_f32_precision(skw_ref.dtype),
+        ).reshape(t_out, w, -1)
+        ska = ska_ref[...].astype(jnp.float32)  # (2, Co)
+        out = out + sk * ska[0] + ska[1]
+    else:  # "sum": identity residual, stride must be 1
+        out = out + xin_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def v3_skip_vmem_ok(h: int, w: int, c: int, cin: int, co: int, d: int,
+                    stride: int, t_out: int,
+                    budget: int = 23 * 1024 * 1024) -> bool:
+    """Live-buffer VMEM estimate for ``fused_sepconv_infer_v3_skip``.
+    The kernel computes FULL-width tiles even when strided (columns are
+    subsampled after the call). The budget is calibrated against XLA's
+    16 MB scoped-vmem limit: this formula overcounts XLA's scoped
+    figure by ~1.45x on the flagship shapes (e.g. est 30.9 MB -> XLA
+    21.0 MB for the block1 end at t_out=8, which OOMs; t_out=4 fits)."""
+    t_in = stride * t_out
+    center = 2 * t_in * w * c * 2
+    halos = 4 * d * w * c * 2
+    xin = 2 * t_in * w * cin * 2
+    xt = (t_in + 2 * d) * (w + 2 * d) * c * 2
+    acc = t_out * w * c * 4
+    out = 2 * t_out * w * co * 2 + t_out * w * co * 4
+    wts = c * co * 2 + cin * co * 2 + 9 * c * 4 + 4 * (c + co) * 4
+    return (center + halos + xin + xt + acc + out + wts) < budget
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "stride", "pre_relu", "tile_out",
+                     "int8_dot", "skip", "interpret"),
+)
+def fused_sepconv_infer_v3_skip(
+    x, x_in, dw_kernel, mid_scale, mid_bias, pw_kernel, out_scale,
+    out_bias, skip_kernel=None, skip_scale=None, skip_bias=None,
+    dilation: int = 1, stride: int = 1, pre_relu: bool = False,
+    tile_out: int = 8, int8_dot: bool = False, skip: str = "conv",
+    interpret: bool = False,
+):
+    """Block-end fused sepconv: like :func:`fused_sepconv_infer_v3` but
+    with the XceptionBlock residual fused in — ``skip='conv'``: a
+    1x1 stride-``stride`` conv (+folded BN) of ``x_in`` (the block
+    input); ``skip='sum'``: identity add of ``x_in`` (stride 1 only).
+    The main depthwise may be strided (the reference puts the block
+    stride on the LAST separable conv). Output is (n, h/stride,
+    w/stride, Co) in ``x.dtype``.
+    """
+    n, h, w, c = x.shape
+    d = dilation
+    if dw_kernel.ndim == 4:
+        dw_kernel = dw_kernel.reshape(3, 3, c)
+    if pw_kernel.ndim == 4:
+        pw_kernel = pw_kernel.reshape(c, -1)
+    co = pw_kernel.shape[-1]
+    t_in = stride * tile_out
+    assert h % t_in == 0 and t_in % d == 0 and w % stride == 0, (
+        h, w, stride, tile_out, d)
+    assert skip in ("conv", "sum")
+    if skip == "sum":
+        assert stride == 1 and x_in.shape == (n, h, w, co), x_in.shape
+        skip_kernel = jnp.zeros((1, co), x.dtype)
+        ska = jnp.zeros((2, co), jnp.float32)
+    else:
+        if skip_kernel.ndim == 4:
+            skip_kernel = skip_kernel.reshape(-1, co)
+        skip_kernel = skip_kernel.astype(x.dtype)
+        ska = jnp.stack([skip_scale, skip_bias]).astype(jnp.float32)
+    cin = x_in.shape[-1]
+    nt = h // t_in
+    k = t_in // d
+    nd = h // d
+    mid = jnp.stack([mid_scale, mid_bias]).astype(jnp.float32)
+    osb = jnp.stack([out_scale, out_bias]).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v3_skip, t_out=tile_out, d=d, stride=stride,
+            pre_relu=pre_relu, w=w, int8_dot=int8_dot, skip=skip,
+        ),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, t_in, w, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, d, w, c),
+                lambda b, i: (b, jnp.maximum(i * k - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d, w, c),
+                lambda b, i: (b, jnp.minimum((i + 1) * k, nd - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_in, w, cin) if skip == "conv" else (1, tile_out, w, co),
+                lambda b, i: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_out, w, co), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h // stride, w, co), x.dtype),
+        interpret=interpret,
+    )(x, x, x, x_in, dw_kernel, mid, pw_kernel, osb, skip_kernel, ska)
+    if stride > 1:
+        # column subsample outside the kernel (Mosaic has no strided
+        # vector extract); a plain XLA slice of a pallas output keeps
+        # the default layout, so it does NOT reintroduce the
+        # conv-boundary relayout this kernel exists to avoid.
+        out = out[:, :, ::stride, :]
+    return out
 
 
 @functools.partial(
