@@ -193,6 +193,11 @@ cfg.TPU.FUSED_SEPCONV_V3 = False  # in INT8_ACTIVATIONS="pw" mode, run
 #   Off until the entry flow runs as one unbroken pallas chain.
 cfg.TPU.FUSED_SEPCONV_MIN_BYTES = 80 * 1024 * 1024  # v3 gate: in+out
 #   bf16 traffic below this measured faster on the XLA path
+cfg.TPU.STEM_WBLOCK = True  # W-blocked stem conv (ops/stem.py): exact
+#   reformulation of the C_in<=4 image conv that feeds the MXU B*C
+#   contraction lanes via FREE NHWC reshapes. 3.0x on the Xception
+#   conv1 @1024x2048 (2.62 -> 0.88 ms standalone); applies to every
+#   backbone stem. Exact => safe for train + eval.
 
 # ---------------------------------------------------------------- utils
 cfg.UTILS = SegmentronConfig()

@@ -75,6 +75,30 @@ class ConvBNReLU(nn.Module):
     norm: NormConfig = NormConfig()
     act: Optional[Callable] = nn.relu
 
+    def _numeric_padding(self) -> Tuple[int, int]:
+        k = _pair(self.kernel_size)
+        d = _pair(self.dilation)
+        p = self.padding
+        if p is None:
+            p = (d[0] * (k[0] - 1) // 2, d[1] * (k[1] - 1) // 2)
+        return _pair(p)
+
+    def _wblock(self, x) -> Optional[int]:
+        """W-block size for the stem fast path (ops/stem.py), or None."""
+        from ..config import cfg
+        from ..ops.stem import pick_block
+
+        if not bool(cfg.TPU.STEM_WBLOCK) or not hasattr(x, "shape"):
+            return None
+        return pick_block(
+            x.shape,
+            _pair(self.kernel_size),
+            _pair(self.stride),
+            self._numeric_padding(),
+            _pair(self.dilation),
+            self.groups,
+        )
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         from ..ops.quant import QTensor, bn_amax, bn_folded_affine, qconv
@@ -100,15 +124,27 @@ class ConvBNReLU(nn.Module):
                 out_amax=amax,
             )
 
-        x = conv2d(
-            self.features,
-            self.kernel_size,
-            self.stride,
-            self.padding,
-            self.dilation,
-            self.groups,
-            name="conv",
-        )(x)
+        blk = self._wblock(x)
+        if blk is not None:
+            from ..ops.stem import wblock_conv2d
+
+            k = _pair(self.kernel_size)
+            w = _SharedKernel(
+                (k[0], k[1], x.shape[-1], self.features), name="conv"
+            )()
+            x = wblock_conv2d(
+                x, w, _pair(self.stride), self._numeric_padding(), blk
+            )
+        else:
+            x = conv2d(
+                self.features,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.dilation,
+                self.groups,
+                name="conv",
+            )(x)
         x = self.norm.make(name="bn")(x, use_running_average=not train)
         if self.act is not None:
             x = self.act(x)
