@@ -136,4 +136,13 @@ def wblock_conv2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_element_type,
     ).astype(x.dtype)
-    return out.reshape(n, out.shape[1], (w_dim // block) * m_out, c_out)
+    out = out.reshape(n, out.shape[1], (w_dim // block) * m_out, c_out)
+    # Layout firewall (semantically a no-op). Without it XLA propagates
+    # the blocked conv's layout choice into downstream convs: measured
+    # model-level the stem win shrank from -1.7 ms to -0.3 ms; with the
+    # barrier -0.8 ms survives (flagship @1024x2048, v5e).
+    import os
+
+    if os.environ.get("SEGMENTRON_STEM_BARRIER", "1") == "1":
+        out = jax.lax.optimization_barrier(out)
+    return out
