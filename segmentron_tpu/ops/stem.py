@@ -106,7 +106,6 @@ def wblock_conv2d(
     stride: Tuple[int, int],
     padding: Tuple[int, int],
     block: int,
-    preferred_element_type=jnp.float32,
 ) -> jax.Array:
     """Exact 2-D conv via free W-axis blocking (see module docstring).
 
@@ -128,13 +127,16 @@ def wblock_conv2d(
     ).reshape(k_h, T.shape[0], block * c, m_out * c_out)
 
     X = x.reshape(n, h, w_dim // block, block * c)
+    # No preferred_element_type: it breaks the conv VJP under mixed
+    # precision (f32 cotangent vs bf16 kernel in the transpose conv),
+    # and the plain nn.Conv path doesn't set it either — the MXU
+    # accumulates in f32 internally regardless.
     out = jax.lax.conv_general_dilated(
         X,
         K.astype(x.dtype),
         window_strides=(s_h, 1),
         padding=[(p_h, p_h), (pad_lo, T.shape[0] - 1 - pad_lo)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred_element_type,
     ).astype(x.dtype)
     out = out.reshape(n, out.shape[1], (w_dim // block) * m_out, c_out)
     # Layout firewall (semantically a no-op). Without it XLA propagates
