@@ -93,3 +93,26 @@ def test_wblock_grad_flows():
     g_blk = jax.grad(lambda w: wblock_conv2d(x, w, s, p, 8).sum())(wt)
     np.testing.assert_allclose(np.asarray(g_blk), np.asarray(g_plain),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_resnet_stem_wblock_matches_plain():
+    """The classic 7x7 ResNet stem routes through wblock_conv2d with the
+    same 'conv1/kernel' param — outputs must match the plain path."""
+    from segmentron_tpu.models.backbones.resnet import BasicBlock, ResNet
+
+    norm = NormConfig()
+    model = ResNet(layers=(2, 2, 2, 2), block=BasicBlock, norm=norm)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 96, 3))
+    cfg.defrost()
+    old = cfg.TPU.STEM_WBLOCK
+    try:
+        cfg.TPU.STEM_WBLOCK = False
+        v = model.init(jax.random.PRNGKey(0), x)
+        ref = model.apply(v, x)
+        cfg.TPU.STEM_WBLOCK = True
+        got = model.apply(v, x)
+    finally:
+        cfg.TPU.STEM_WBLOCK = old
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-3)
