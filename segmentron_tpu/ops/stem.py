@@ -79,6 +79,12 @@ def pick_block(
     if c_in > 4 or groups != 1 or dilation != (1, 1):
         return None
     k_w, s_w, p_w = kernel_size[1], stride[1], padding[1]
+    # k=7 measured NEUTRAL-to-NEGATIVE (FCN/ResNet-50 @512²: 508 -> 493
+    # img/s): the blocked kernel's zero-padding wastes ~7x FLOPs for a
+    # 7-tap row vs ~3x for 3-tap, eating the lane-starvation win. Only
+    # small kernels ship through this path.
+    if k_w > 5:
+        return None
     if not (1 <= k_w - 2 * p_w <= s_w):
         return None
     b = max_block

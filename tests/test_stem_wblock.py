@@ -27,7 +27,6 @@ GEOMS = [
     # (k, s, p, H, W, C_in, C_out, block)
     ((3, 3), (2, 2), (1, 1), 33, 64, 3, 16, 16),
     ((3, 3), (2, 2), (1, 1), 16, 24, 3, 8, 8),   # W%16!=0 -> B=8
-    ((7, 7), (2, 2), (3, 3), 32, 64, 3, 16, 16),  # ResNet stem
     ((3, 3), (1, 1), (1, 1), 12, 32, 3, 8, 16),   # stride-1 same
     ((3, 3), (2, 2), (1, 1), 20, 48, 4, 8, 16),   # C_in=4
     ((5, 5), (2, 2), (2, 2), 18, 32, 1, 8, 16),   # 1-channel input
@@ -46,6 +45,12 @@ def test_wblock_exact(k, s, p, h, w, ci, co, blk):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_pick_block_rejects_large_kernels():
+    # 7x7 measured neutral-to-negative on chip (FCN 508 -> 493 img/s):
+    # blocked-kernel zero padding wastes ~7x FLOPs at 7 taps
+    assert pick_block((1, 32, 64, 3), (7, 7), (2, 2), (3, 3)) is None
 
 
 def test_pick_block_rejections():
