@@ -193,6 +193,10 @@ cfg.TPU.FUSED_SEPCONV_V3 = False  # in INT8_ACTIVATIONS="pw" mode, run
 #   Off until the entry flow runs as one unbroken pallas chain.
 cfg.TPU.FUSED_SEPCONV_MIN_BYTES = 80 * 1024 * 1024  # v3 gate: in+out
 #   bf16 traffic below this measured faster on the XLA path
+cfg.TPU.DW_SHIFT = True  # dilated depthwise convs (rate >= 12) as 9
+#   shifted-slice MACs (ops/dwconv.py): XLA's dilated-dw lowering
+#   degrades with rate (d=6 0.49 / d=12 0.81 / d=18 1.18 ms at ASPP
+#   geometry) while the shift form stays flat (~0.67). Exact.
 cfg.TPU.STEM_WBLOCK = True  # W-blocked stem conv (ops/stem.py): exact
 #   reformulation of the C_in<=4 image conv that feeds the MXU B*C
 #   contraction lanes via FREE NHWC reshapes. 3.0x on the Xception

@@ -252,6 +252,17 @@ class SeparableConv2d(nn.Module):
                 return tile
         return None
 
+    def _dw_shift(self) -> bool:
+        """Route the depthwise conv through the shifted-slice VPU path
+        (ops/dwconv.py) — measured faster than XLA's dilated-depthwise
+        lowering at rates >= 12 (the ASPP/DenseASPP atrous branches)."""
+        from ..config import cfg
+        from ..ops.dwconv import prefer_shift
+
+        return bool(cfg.TPU.DW_SHIFT) and prefer_shift(
+            _pair(self.kernel_size), _pair(self.stride), _pair(self.dilation)
+        )
+
     def _int8_pw_mode(self, train: bool) -> bool:
         """Mixed precision-of-storage mode ("pw"): depthwise stays bf16
         (its int8 lowering measured slower on v5e), but the dw->pw hop
@@ -298,15 +309,24 @@ class SeparableConv2d(nn.Module):
 
         if self.relu_first:
             x = nn.relu(x)
-        x = conv2d(
-            in_ch,
-            self.kernel_size,
-            self.stride,
-            None,
-            self.dilation,
-            groups=in_ch,
-            name="depthwise",
-        )(x)
+        if self._dw_shift():
+            from ..ops.dwconv import depthwise_shift3x3
+
+            kk = _pair(self.kernel_size)
+            dw_k = _SharedKernel((kk[0], kk[1], 1, in_ch), name="depthwise")()
+            x = depthwise_shift3x3(
+                x, dw_k.astype(x.dtype), _pair(self.dilation)[0]
+            )
+        else:
+            x = conv2d(
+                in_ch,
+                self.kernel_size,
+                self.stride,
+                None,
+                self.dilation,
+                groups=in_ch,
+                name="depthwise",
+            )(x)
         x = self.norm.make(name="dw_bn")(x, use_running_average=not train)
         x = conv2d(self.features, 1, 1, 0, 1, name="pointwise")(x)
         x = self.norm.make(name="pw_bn")(x, use_running_average=not train)
@@ -386,17 +406,24 @@ class SeparableConv2d(nn.Module):
         if self.relu_first:
             x = nn.relu(x)
         d = _pair(self.dilation)
-        pad = (d[0] * (kk[0] - 1) // 2, d[1] * (kk[1] - 1) // 2)
-        y = jax.lax.conv_general_dilated(
-            x,
-            dw_k.astype(x.dtype),
-            window_strides=_pair(self.stride),
-            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-            rhs_dilation=d,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=in_ch,
-            preferred_element_type=jnp.float32,
-        )
+        if self._dw_shift():
+            from ..ops.dwconv import depthwise_shift3x3
+
+            y = depthwise_shift3x3(x, dw_k.astype(x.dtype), d[0]).astype(
+                jnp.float32
+            )
+        else:
+            pad = (d[0] * (kk[0] - 1) // 2, d[1] * (kk[1] - 1) // 2)
+            y = jax.lax.conv_general_dilated(
+                x,
+                dw_k.astype(x.dtype),
+                window_strides=_pair(self.stride),
+                padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+                rhs_dilation=d,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=in_ch,
+                preferred_element_type=jnp.float32,
+            )
         y = y * a1 + c1
         q = quantize_static(y, bn_amax(a1, c1, k=float(cfg.TPU.INT8_K)))
         y = qconv(q, pw_k, 1, 0, 1, bn_affine=(a2, c2))
