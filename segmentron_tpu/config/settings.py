@@ -73,6 +73,9 @@ cfg.SOLVER.LOSS_NAME = ""  # '' -> CE; focal | lovasz | dice | binary_dice
 # ---------------------------------------------------------------- test
 cfg.TEST = SegmentronConfig()
 cfg.TEST.TEST_MODEL_PATH = ""
+cfg.TEST.USE_BEST = False  # restore the durable best-mIoU checkpoint
+#   (<TEST_MODEL_PATH>_best, rotation-immune) instead of the latest
+#   rotating snapshot — the reference's best_model.pth semantics
 cfg.TEST.BATCH_SIZE = 1
 cfg.TEST.CROP_SIZE = None  # sliding-window window size; None = whole image
 cfg.TEST.SCALES = [1.0]  # multi-scale TTA factors
@@ -80,6 +83,16 @@ cfg.TEST.FLIP = False  # horizontal-flip TTA
 cfg.TEST.DISTRIBUTED = True  # data-parallel TTA eval over the mesh when
 #   more than one device is visible (psum'd confusion matrix; results
 #   are bit-identical to single-device — integer CM sum)
+cfg.TEST.BUCKET_QUANT = 0  # shape-bucketed testval eval (engine/
+#   bucketed.py): >0 pads each native-size image up to the next
+#   multiple-of-QUANT bucket (mask padded with ignore) and compiles ONE
+#   program per bucket — variable-size val sets (ADE20K/VOC: hundreds
+#   of distinct sizes at ~5 min/remote compile) become evaluable.
+#   0 = off (fixed-size datasets like Cityscapes compile one program
+#   anyway). Window grids / resize matrices / flip geometry enter the
+#   compiled program as data, so results on the real pixels match the
+#   unbucketed path (bit-exact at scale 1.0; f32-rounding-exact across
+#   scales). See the module docstring for the small-image deviation.
 cfg.TEST.SPATIAL_SHARD = False  # GSPMD-shard image HEIGHT across the
 #   mesh for whole-image forwards (parallel/spatial.py) — the sequence-
 #   parallel analogue for full-res attention heads whose activations
@@ -180,6 +193,14 @@ cfg.TPU.INT8_ACTIVATIONS = False  # static-int8 backbone inference
 #   BN statistics — no calibration pass. Eval-only; accuracy/perf
 #   deltas documented in BASELINE.md.
 cfg.TPU.INT8_K = 6.0  # BN-sigma multiple bounding the activation range
+cfg.TPU.INT8_CALIBRATE = False  # INTERNAL: set by engine/calibrate.py
+#   during the measured-amax calibration forward (f32 path + per-site
+#   |max| observation into the 'quant_amax' collection). Not a user knob.
+cfg.TPU.INT8_CALIBRATION_BATCHES = 0  # >0: before an int8 eval, run
+#   this many val batches through the f32 model recording per-site
+#   per-channel |max| activations, and quantize with those measured
+#   ranges instead of the 6-sigma BN heuristic (the fallback VERDICT r2
+#   asked for if the heuristic costs mIoU). 0 = heuristic only.
 cfg.TPU.FUSED_SEPCONV_V3 = False  # in INT8_ACTIVATIONS="pw" mode, run
 #   large stride-1 sepconvs through the fused v3 Pallas kernel
 #   (ops/sepconv.py): halo rows fetched as overlapping BlockSpec

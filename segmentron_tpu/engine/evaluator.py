@@ -48,6 +48,15 @@ class Evaluator:
         self.model = get_segmentation_model()
         if variables is None:
             variables = self._load_variables()
+        n_cal = int(cfg.TPU.INT8_CALIBRATION_BATCHES)
+        if cfg.TPU.INT8_ACTIVATIONS and n_cal > 0:
+            from .calibrate import calibrate_int8_amax
+
+            self.logger.info(
+                "Calibrating int8 ranges on %d val batches", n_cal
+            )
+            batches = (b for _, b in zip(range(n_cal), iter(self.loader)))
+            variables = calibrate_int8_amax(self.model, variables, batches)
         self.variables = variables
         n_dev = len(jax.devices())
         self.mesh = None
@@ -77,8 +86,25 @@ class Evaluator:
                 "TEST.TEST_MODEL_PATH empty - evaluating randomly-initialised model"
             )
             return template
+        use_best = bool(cfg.TEST.USE_BEST) or bool(
+            getattr(self.args, "best", False)
+        )
         ckpt = CheckpointManager(path)
-        restored = ckpt.restore_raw()
+        if use_best:
+            restored = ckpt.restore_best_raw()
+            if restored is None:
+                raise FileNotFoundError(
+                    f"No best checkpoint under {ckpt.best_directory} "
+                    "(train with validation enabled to produce one)"
+                )
+            meta = ckpt.best_meta()
+            if meta:
+                self.logger.info(
+                    "Restoring BEST checkpoint: step %d, mIoU %.4f",
+                    meta["step"], meta["miou"],
+                )
+        else:
+            restored = ckpt.restore_raw()
         if restored is None:
             raise FileNotFoundError(f"No checkpoint found under {path}")
         # accept either a full TrainState checkpoint or bare variables
@@ -144,6 +170,33 @@ class Evaluator:
             n_img += flush(shape)
         return n_img
 
+    def _eval_bucketed(self):
+        """Variable-size testval: one compiled program per shape bucket
+        (engine/bucketed.py), instead of one per unique image size."""
+        from .bucketed import BucketedTTA
+
+        crop = cfg.TEST.CROP_SIZE
+        tta = BucketedTTA(
+            self.predict_fn,
+            self.nclass,
+            scales=tuple(cfg.TEST.SCALES),
+            flip=bool(cfg.TEST.FLIP),
+            crop_size=int(crop) if crop else None,
+        )
+        quant = int(cfg.TEST.BUCKET_QUANT)
+        n_img = 0
+        for batch in self.loader:
+            for i in range(batch["image"].shape[0]):
+                cm = tta(
+                    self.variables,
+                    np.asarray(batch["image"][i]),
+                    np.asarray(batch["mask"][i]),
+                    quant=quant,
+                )
+                self.metric.update_cm(cm)
+                n_img += 1
+        return n_img
+
     def eval(self):
         self.metric.reset()
         scales = list(cfg.TEST.SCALES)
@@ -151,7 +204,9 @@ class Evaluator:
         crop = cfg.TEST.CROP_SIZE
         t0 = time.time()
         n_img = 0
-        if self.mesh is not None:
+        if int(cfg.TEST.BUCKET_QUANT) > 0:
+            n_img = self._eval_bucketed()
+        elif self.mesh is not None:
             n_img = self._eval_distributed()
         else:
             for batch in self.loader:

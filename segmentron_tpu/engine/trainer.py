@@ -157,7 +157,9 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(cfg.TRAIN.MODEL_SAVE_DIR or "runs/checkpoints", "orbax")
         )
-        self.best_miou = 0.0
+        # best_miou persists in best_meta.json so resume keeps tracking
+        meta = self.ckpt.best_meta()
+        self.best_miou = float(meta["miou"]) if meta else 0.0
         self.start_epoch = 0
         if cfg.TRAIN.RESUME_MODEL_PATH or (args is not None and getattr(args, "resume", False)):
             self._resume()
@@ -241,9 +243,14 @@ class Trainer:
                 )
                 if miou > self.best_miou:
                     self.best_miou = miou
-                    self.ckpt.save(
+                    self.ckpt.save_best(
                         int(jax.device_get(self.state.step)),
                         jax.device_get(self.state),
+                        miou,
+                    )
+                    self.logger.info(
+                        "New best mIoU %.4f — saved to %s", miou,
+                        self.ckpt.best_directory,
                     )
         self.ckpt.wait()
         return final_loss

@@ -135,24 +135,13 @@ class ResNet(nn.Module):
                 x, train
             )
         else:
-            # 7x7 stem: route through the W-blocked formulation when
-            # eligible (ops/stem.py — the C_in=3 conv starves the MXU;
-            # same param name "conv1/kernel" either way, so checkpoints
-            # and the torch converter are unaffected).
-            from ...config import cfg
-            from ...modules.basic import _SharedKernel
-            from ...ops.stem import pick_block, wblock_conv2d
-
-            blk = (
-                pick_block(x.shape, (7, 7), (2, 2), (3, 3))
-                if bool(cfg.TPU.STEM_WBLOCK)
-                else None
-            )
-            if blk is not None:
-                w = _SharedKernel((7, 7, x.shape[-1], 64), name="conv1")()
-                x = wblock_conv2d(x, w, (2, 2), (3, 3), blk)
-            else:
-                x = conv2d(64, 7, 2, 3, name="conv1")(x)
+            # 7x7 stem stays on the plain XLA conv: the W-blocked
+            # formulation (ops/stem.py) was measured neutral-to-negative
+            # at 7 taps (~7x zero-pad FLOP waste vs ~3x at k=3; FCN
+            # 507.9 -> 493.0 img/s) and pick_block rejects k>5, so a
+            # wblock branch here would be dead code. 3x3 stems (deep
+            # stem above, Xception) do route through wblock.
+            x = conv2d(64, 7, 2, 3, name="conv1")(x)
             x = self.norm.make("bn1")(x, use_running_average=not train)
             x = nn.relu(x)
         # torch max_pool2d(kernel=3, stride=2, padding=1)

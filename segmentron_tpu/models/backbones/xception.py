@@ -52,13 +52,14 @@ class XceptionBlock(nn.Module):
         import jax
 
         from ...config import cfg
-        from ...ops.sepconv import v3_skip_vmem_ok
 
         if train or self.is_initializing():
             return False
         if cfg.TPU.INT8_ACTIVATIONS != "pw" or not bool(
             cfg.TPU.FUSED_SEPCONV_V3
         ):
+            return False
+        if bool(cfg.TPU.INT8_CALIBRATE):
             return False
         if self.norm.bn_type not in ("BN", "SyncBN", "FrozenBN"):
             return False
@@ -86,9 +87,11 @@ class XceptionBlock(nn.Module):
             < int(cfg.TPU.FUSED_SEPCONV_MIN_BYTES)
         ):
             return False
-        return v3_skip_vmem_ok(
-            h, w, self.channels[-2], c, self.channels[-1], self.dilation,
-            self.stride, t_out=2,
+        # the gate must guarantee _end_tile finds a tile — otherwise
+        # _fused_forward would pass tile_out=None into the kernel
+        return (
+            self._end_tile(h, w, self.channels[-2], c, self.channels[-1])
+            is not None
         )
 
     def _end_tile(self, h, w, c, cin, co):
@@ -139,6 +142,7 @@ class XceptionBlock(nn.Module):
         )
         n, h, w, _ = y.shape
         tile = self._end_tile(h, w, in_ch, x.shape[-1], co)
+        assert tile is not None, "_fused_chain gate must ensure a viable tile"
         if self.skip_type == "conv":
             skw = _SharedKernel((1, 1, x.shape[-1], co), name="skip_conv")()
             ss, sbb, sm, sv = _SharedBN(name="skip_bn")(co)
@@ -190,9 +194,14 @@ class XceptionBlock(nn.Module):
                 )()
                 s, b, m, v = _SharedBN(name="skip_bn")(self.channels[-1])
                 a_bn, b_bn = bn_folded_affine(s, b, m, v, self.norm.eps)
+                from ...ops.quant import site_amax
+
                 residual = qconv(
                     x, w, self.stride, 0, bn_affine=(a_bn, b_bn),
-                    out_amax=bn_amax(a_bn, b_bn, k=float(cfg.TPU.INT8_K)),
+                    out_amax=site_amax(
+                        self, "skip_bn",
+                        bn_amax(a_bn, b_bn, k=float(cfg.TPU.INT8_K)),
+                    ),
                 )
                 y = qadd(y, residual)
             else:
@@ -202,6 +211,9 @@ class XceptionBlock(nn.Module):
                 residual = self.norm.make("skip_bn")(
                     residual, use_running_average=not train
                 )
+                from ...ops.quant import observe_amax
+
+                observe_amax(self, "skip_bn", residual)
                 y = y + residual
         elif self.skip_type == "sum":
             if int8:
@@ -226,6 +238,8 @@ class Xception65(nn.Module):
             return False
         if cfg.TPU.INT8_ACTIVATIONS not in (True, "full"):
             return False  # "pw" handles itself inside SeparableConv2d
+        if bool(cfg.TPU.INT8_CALIBRATE):
+            return False  # calibration runs the f32 path + amax hooks
         return self.norm.bn_type in ("BN", "SyncBN", "FrozenBN")
 
     @nn.compact

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import observe_amax, site_amax
 from .batch_norm import NormConfig
 
 __all__ = ["conv2d", "ConvBNReLU", "SeparableConv2d", "InvertedResidual"]
@@ -272,7 +273,7 @@ class SeparableConv2d(nn.Module):
 
         if train or self.is_initializing():
             return False
-        if cfg.TPU.INT8_ACTIVATIONS != "pw":
+        if cfg.TPU.INT8_ACTIVATIONS != "pw" or bool(cfg.TPU.INT8_CALIBRATE):
             return False
         return self.norm.bn_type in ("BN", "SyncBN", "FrozenBN")
 
@@ -328,8 +329,10 @@ class SeparableConv2d(nn.Module):
                 name="depthwise",
             )(x)
         x = self.norm.make(name="dw_bn")(x, use_running_average=not train)
+        observe_amax(self, "dw_bn", x)
         x = conv2d(self.features, 1, 1, 0, 1, name="pointwise")(x)
         x = self.norm.make(name="pw_bn")(x, use_running_average=not train)
+        observe_amax(self, "pw_bn", x)
         return x
 
     def _v3_tile(self, x) -> Optional[int]:
@@ -409,8 +412,12 @@ class SeparableConv2d(nn.Module):
         if self._dw_shift():
             from ..ops.dwconv import depthwise_shift3x3
 
-            y = depthwise_shift3x3(x, dw_k.astype(x.dtype), d[0]).astype(
-                jnp.float32
+            # out_dtype=f32: keep the 9-tap accumulator unrounded into
+            # the BN fold + quantizer, matching the conv path's
+            # preferred_element_type=f32 (ADVICE r2: the bf16 roundtrip
+            # was a systematic divergence between the two routes)
+            y = depthwise_shift3x3(
+                x, dw_k.astype(x.dtype), d[0], out_dtype=jnp.float32
             )
         else:
             pad = (d[0] * (kk[0] - 1) // 2, d[1] * (kk[1] - 1) // 2)
@@ -425,7 +432,12 @@ class SeparableConv2d(nn.Module):
                 preferred_element_type=jnp.float32,
             )
         y = y * a1 + c1
-        q = quantize_static(y, bn_amax(a1, c1, k=float(cfg.TPU.INT8_K)))
+        # calibrated (measured) amax when a quant_amax collection is
+        # loaded; 6-sigma BN heuristic otherwise
+        amax1 = site_amax(
+            self, "dw_bn", bn_amax(a1, c1, k=float(cfg.TPU.INT8_K))
+        )
+        q = quantize_static(y, amax1)
         y = qconv(q, pw_k, 1, 0, 1, bn_affine=(a2, c2))
         return y.astype(out_dtype)
 
@@ -451,11 +463,12 @@ class SeparableConv2d(nn.Module):
             x = qrelu(x)
         y = qconv(
             x, dw_k, self.stride, None, self.dilation, groups=in_ch,
-            bn_affine=(a1, c1), out_amax=bn_amax(a1, c1, k=k),
+            bn_affine=(a1, c1),
+            out_amax=site_amax(self, "dw_bn", bn_amax(a1, c1, k=k)),
         )
         return qconv(
             y, pw_k, 1, 0, 1, bn_affine=(a2, c2),
-            out_amax=bn_amax(a2, c2, k=k),
+            out_amax=site_amax(self, "pw_bn", bn_amax(a2, c2, k=k)),
         )
 
 

@@ -49,12 +49,15 @@ def depthwise_shift3x3(
     x: jax.Array,
     kernel: jax.Array,
     dilation: Union[int, Tuple[int, int]] = 1,
+    out_dtype=None,
 ) -> jax.Array:
     """Depthwise 3x3, stride 1, 'same' padding, as 9 shifted MACs.
 
     ``kernel`` is the canonical HWIO depthwise weight ``(3, 3, 1, C)``.
-    Output dtype follows ``x`` (accumulation in f32, matching the conv
-    path's ``preferred_element_type=float32``).
+    Output dtype follows ``x`` unless ``out_dtype`` is given
+    (accumulation is always f32, matching the conv path's
+    ``preferred_element_type=float32``; consumers that feed a quantizer
+    pass ``out_dtype=float32`` to keep the accumulator unrounded).
     """
     d = dilation if isinstance(dilation, int) else dilation[0]
     n, h, w, c = x.shape
@@ -67,4 +70,4 @@ def depthwise_shift3x3(
                 jnp.float32
             ) * kf[dy, dx, 0]
             acc = t if acc is None else acc + t
-    return acc.astype(x.dtype)
+    return acc.astype(out_dtype if out_dtype is not None else x.dtype)

@@ -149,8 +149,5 @@ def wblock_conv2d(
     # the blocked conv's layout choice into downstream convs: measured
     # model-level the stem win shrank from -1.7 ms to -0.3 ms; with the
     # barrier -0.8 ms survives (flagship @1024x2048, v5e).
-    import os
-
-    if os.environ.get("SEGMENTRON_STEM_BARRIER", "1") == "1":
-        out = jax.lax.optimization_barrier(out)
+    out = jax.lax.optimization_barrier(out)
     return out

@@ -5,10 +5,17 @@
 Improvements over the reference: the full pytree (params + batch_stats
 + opt_state + step) is checkpointed, and ``restore_latest`` enables
 auto-resume-from-latest after a crash.
+
+Best-model semantics (reference ``tools/train.py`` best_model.pth,
+SURVEY §5.4): the best checkpoint lives in a SIBLING ``<dir>_best``
+manager with ``max_to_keep=1`` so the rotating snapshot manager can
+never rotate it out, and ``best_meta.json`` persists the step + mIoU so
+best tracking survives resume.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -29,9 +36,57 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        self._best = None  # lazy — most eval/demo uses never touch it
 
+    # ------------------------------------------------------ best model
+    @property
+    def best_directory(self) -> str:
+        return self.directory.rstrip("/") + "_best"
+
+    def _best_mgr(self) -> ocp.CheckpointManager:
+        if self._best is None:
+            self._best = ocp.CheckpointManager(
+                self.best_directory,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, create=True
+                ),
+            )
+        return self._best
+
+    def _best_meta_path(self) -> str:
+        return os.path.join(self.best_directory, "best_meta.json")
+
+    def best_meta(self) -> Optional[dict]:
+        """``{"step": int, "miou": float}`` of the saved best, or None."""
+        try:
+            with open(self._best_meta_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def save_best(self, step: int, tree: Any, miou: float) -> None:
+        """Durably save the current best model (rotation-immune)."""
+        mgr = self._best_mgr()
+        mgr.save(int(step), args=ocp.args.StandardSave(tree), force=True)
+        mgr.wait_until_finished()
+        with open(self._best_meta_path(), "w") as f:
+            json.dump({"step": int(step), "miou": float(miou)}, f)
+
+    def restore_best_raw(self) -> Optional[Any]:
+        mgr = self._best_mgr()
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        return mgr.restore(int(step))
+
+    # ------------------------------------------------------- rotating
     def save(self, step: int, tree: Any, wait: bool = False) -> None:
-        self._mgr.save(int(step), args=ocp.args.StandardSave(tree))
+        step = int(step)
+        if step in (self._mgr.all_steps() or []):
+            # snapshot epoch + best-save can coincide on the same step;
+            # orbax refuses duplicate step dirs — make save idempotent
+            return
+        self._mgr.save(step, args=ocp.args.StandardSave(tree))
         if wait:
             self._mgr.wait_until_finished()
 

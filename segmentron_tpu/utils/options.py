@@ -32,6 +32,12 @@ def parse_args(argv=None, extra=None):
         "--resume", action="store_true", default=False, help="resume from latest ckpt"
     )
     parser.add_argument(
+        "--best",
+        action="store_true",
+        default=False,
+        help="eval: restore the durable best-mIoU checkpoint instead of latest",
+    )
+    parser.add_argument(
         "opts",
         default=None,
         nargs=argparse.REMAINDER,

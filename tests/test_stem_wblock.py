@@ -100,10 +100,15 @@ def test_wblock_grad_flows():
                                rtol=1e-4, atol=1e-3)
 
 
-def test_resnet_stem_wblock_matches_plain():
-    """The classic 7x7 ResNet stem routes through wblock_conv2d with the
-    same 'conv1/kernel' param — outputs must match the plain path."""
+def test_resnet_7x7_stem_never_routes_to_wblock():
+    """7x7 stems measured negative through wblock (~7x zero-pad FLOP
+    waste); pick_block must reject k>5 so classic ResNet stems stay on
+    the plain conv, and the ResNet forward is wblock-independent."""
     from segmentron_tpu.models.backbones.resnet import BasicBlock, ResNet
+    from segmentron_tpu.ops.stem import pick_block
+
+    assert pick_block((1, 64, 96, 3), (7, 7), (2, 2), (3, 3)) is None
+    assert pick_block((1, 1024, 2048, 3), (7, 7), (2, 2), (3, 3)) is None
 
     norm = NormConfig()
     model = ResNet(layers=(2, 2, 2, 2), block=BasicBlock, norm=norm)
@@ -119,5 +124,4 @@ def test_resnet_stem_wblock_matches_plain():
     finally:
         cfg.TPU.STEM_WBLOCK = old
     for a, b in zip(got, ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
