@@ -91,11 +91,30 @@ def url_embedded_hash(url: Optional[str]) -> Optional[str]:
     return None
 
 
+def _pinned_hash(backbone: str) -> Optional[str]:
+    """User-pinned sha256 prefixes from ``<cache>/hashes.json`` — for
+    backbones whose weights have no stable hash-embedding URL
+    (xception65 / hrnet_* live on the SegmenTron release page / Google
+    Drive; SURVEY §2.2). Seed the cache, then pin:
+    ``{"xception65": "<sha256-prefix>"}``."""
+    import json
+
+    try:
+        with open(os.path.join(default_cache_dir(), "hashes.json")) as f:
+            v = json.load(f).get(backbone)
+            return str(v) if v else None
+    except (OSError, ValueError):
+        return None
+
+
 def verify_weight_file(path: str, backbone: str) -> None:
     """Enforce the URL-embedded hash when one is known (reference
-    behavior: the download path sha-checks every file). Raises on
-    mismatch — a silently corrupt checkpoint would train to garbage."""
-    expect = url_embedded_hash(pretrained_url(backbone))
+    behavior: the download path sha-checks every file), or a user-pinned
+    hash from ``<cache>/hashes.json``. Raises on mismatch — a silently
+    corrupt checkpoint would train to garbage."""
+    expect = url_embedded_hash(pretrained_url(backbone)) or _pinned_hash(
+        backbone
+    )
     if expect is None:
         return
     # files renamed to <backbone>.pth by our cache keep verifiability
@@ -105,6 +124,26 @@ def verify_weight_file(path: str, backbone: str) -> None:
             f"Pretrained checkpoint {path!r} failed its sha256 check "
             f"(expected prefix {expect!r}). Delete and re-download."
         )
+
+
+def _convert_to_npz(backbone: str, pth_path: str) -> str:
+    """One-time torch ``.pth`` -> converted flax ``.npz`` next to it in
+    the cache; later resolves hit the ``.npz`` directly (no torch import
+    at train time). Falls back to the ``.pth`` path if no converter
+    exists for the backbone (on-the-fly conversion at load handles it)."""
+    npz = os.path.splitext(pth_path)[0] + ".npz"
+    if os.path.isfile(npz):
+        return npz
+    try:
+        from .torch_convert import (
+            convert_backbone_state, load_torch_state_dict, save_flax_npz,
+        )
+
+        tree = convert_backbone_state(backbone, load_torch_state_dict(pth_path))
+        save_flax_npz(tree, npz)
+        return npz
+    except KeyError:
+        return pth_path
 
 
 def resolve_pretrained(
@@ -117,6 +156,11 @@ def resolve_pretrained(
     would train from scratch unnoticed). Cache hits and downloads are
     hash-verified against the URL-embedded sha256 prefix when known;
     explicit paths are trusted (they may be converted/retrained files).
+    Cached/downloaded ``.pth`` files are converted once to a ``.npz``
+    flax tree in the cache and the ``.npz`` path is returned (reference
+    ``segmentron/utils/download.py`` caches the torch file; the TPU
+    build additionally caches the converted form so train time never
+    needs torch).
     """
     if explicit_path:
         if not os.path.isfile(explicit_path):
@@ -129,8 +173,10 @@ def resolve_pretrained(
         # .npz = our converted flax format (tools/convert_weights.py);
         # its integrity is covered by the converter roundtrip, and the
         # torch-hub hash wouldn't match it anyway.
-        if verify and cached.endswith((".pth", ".pt")):
-            verify_weight_file(cached, backbone)
+        if cached.endswith((".pth", ".pt")):
+            if verify:
+                verify_weight_file(cached, backbone)
+            cached = _convert_to_npz(backbone, cached)
         return cached
     url = pretrained_url(backbone)
     if url:
@@ -139,10 +185,17 @@ def resolve_pretrained(
 
             os.makedirs(default_cache_dir(), exist_ok=True)
             dst = os.path.join(default_cache_dir(), backbone + ".pth")
-            urllib.request.urlretrieve(url, dst)
+            # explicit timeout: in egress-less environments the DNS
+            # blackhole otherwise stalls ~60 s before failing over to
+            # train-from-scratch
+            with urllib.request.urlopen(url, timeout=10) as r, open(
+                dst, "wb"
+            ) as f:
+                while chunk := r.read(1 << 20):
+                    f.write(chunk)
             if verify:
                 verify_weight_file(dst, backbone)
-            return dst
+            return _convert_to_npz(backbone, dst)
         except Exception:
             return None
     return None

@@ -430,6 +430,131 @@ def load_flax_npz(path: str) -> Dict[str, Any]:
     return tree
 
 
+def convert_xception_official_state(
+    state: Dict[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Aligned-Xception ``state_dict`` in the common DeepLab-torch
+    naming (reference ``segmentron/models/backbones/xception.py`` [M —
+    mount empty; modeled on the public aligned-Xception layout that
+    family of repos shares]) -> our flax tree:
+
+    - stem: ``conv1/bn1``, ``conv2/bn2`` -> ``conv{1,2}/{conv,bn}``
+    - ``blockN.rep`` Sequential of [ReLU, SeparableConv2d(conv1=dw,
+      bn, pointwise), BatchNorm] x3 + ``skip``/``skipbn`` projection ->
+      ``block{1..3} / middle{1..M} / exit1`` with
+      ``sep{i}/{depthwise,dw_bn,pointwise,pw_bn}`` and
+      ``skip_conv``/``skip_bn``
+    - exit separables ``conv{3,4,5}`` + ``bn{3,4,5}`` ->
+      ``exit_sep{1,2,3}``
+
+    The ``rep`` walk is SHAPE-driven (a 4-D weight with in-dim 1 starts
+    a separable unit; a trailing 1-D-weight module is its pw_bn), so
+    Sequential index offsets from relu_first/grow_first variants do not
+    matter. Middle-block count adapts to the highest block index
+    (block4..block<max-1> -> middle1..M, block<max> -> exit1)."""
+    import re
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_conv(scope, name, w):
+        params.setdefault(scope, {})[name] = {"kernel": t2j_conv_kernel(w)}
+
+    def put_bn(scope, name, prefix):
+        p, s = _bn_entries(state, prefix)
+        params.setdefault(scope, {})[name] = p
+        stats.setdefault(scope, {})[name] = s
+
+    # ---- stem
+    params["conv1"] = {"conv": {"kernel": t2j_conv_kernel(state["conv1.weight"])}}
+    params["conv2"] = {"conv": {"kernel": t2j_conv_kernel(state["conv2.weight"])}}
+    p, s = _bn_entries(state, "bn1")
+    params["conv1"]["bn"], stats["conv1"] = p, {"bn": s}
+    p, s = _bn_entries(state, "bn2")
+    params["conv2"]["bn"], stats["conv2"] = p, {"bn": s}
+
+    # ---- blocks
+    block_ids = sorted(
+        {
+            int(m.group(1))
+            for k in state
+            if (m := re.match(r"block(\d+)\.", k))
+        }
+    )
+    if not block_ids:
+        raise ValueError("No blockN.* keys — not official Xception naming")
+    exit_id = block_ids[-1]
+
+    def scope_of(bid: int) -> str:
+        if bid <= 3:
+            return f"block{bid}"
+        if bid == exit_id:
+            return "exit1"
+        return f"middle{bid - 3}"
+
+    for bid in block_ids:
+        scope = scope_of(bid)
+        pref = f"block{bid}."
+        if pref + "skip.weight" in state:
+            put_conv(scope, "skip_conv", state[pref + "skip.weight"])
+            put_bn(scope, "skip_bn", pref + "skipbn")
+        # ordered rep-module prefixes (state_dict preserves order)
+        rep_mods = []
+        for k in state:
+            if k.startswith(pref + "rep."):
+                mod = k[len(pref):].split(".")[1]  # the Sequential index
+                full = pref + "rep." + mod
+                if full not in rep_mods:
+                    rep_mods.append(full)
+        sep_i = 0
+        for mod in rep_mods:
+            w_key = mod + ".conv1.weight"
+            if w_key in state:  # SeparableConv2d: dw + inner bn + pw
+                sep_i += 1
+                sscope = f"{scope}"
+                sep = f"sep{sep_i}"
+                params.setdefault(sscope, {})[sep] = {
+                    "depthwise": {"kernel": t2j_conv_kernel(state[w_key])},
+                    "pointwise": {
+                        "kernel": t2j_conv_kernel(state[mod + ".pointwise.weight"])
+                    },
+                }
+                p, s = _bn_entries(state, mod + ".bn")
+                params[sscope][sep]["dw_bn"] = p
+                stats.setdefault(sscope, {}).setdefault(sep, {})["dw_bn"] = s
+            elif mod + ".weight" in state and state[mod + ".weight"].ndim == 1:
+                # standalone BatchNorm entry -> pw_bn of the open sep
+                if sep_i == 0:
+                    raise ValueError(f"BN before any separable in {mod!r}")
+                p, s = _bn_entries(state, mod)
+                params[scope][f"sep{sep_i}"]["pw_bn"] = p
+                stats[scope][f"sep{sep_i}"]["pw_bn"] = s
+
+    # ---- exit separables conv3/4/5 (+ outer bn3/4/5 as pw_bn)
+    for i, (ckey, bkey) in enumerate(
+        (("conv3", "bn3"), ("conv4", "bn4"), ("conv5", "bn5")), start=1
+    ):
+        if ckey + ".conv1.weight" not in state:
+            continue
+        scope = f"exit_sep{i}"
+        params[scope] = {
+            "depthwise": {
+                "kernel": t2j_conv_kernel(state[ckey + ".conv1.weight"])
+            },
+            "pointwise": {
+                "kernel": t2j_conv_kernel(state[ckey + ".pointwise.weight"])
+            },
+        }
+        p, s = _bn_entries(state, ckey + ".bn")
+        params[scope]["dw_bn"] = p
+        stats[scope] = {"dw_bn": s}
+        p, s = _bn_entries(state, bkey)
+        params[scope]["pw_bn"] = p
+        stats[scope]["pw_bn"] = s
+
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_backbone_state(backbone: str, state: Dict[str, np.ndarray]):
     """torch ``state_dict`` (numpy leaves) -> flax ``{params,
     batch_stats}`` tree for any supported backbone. Raises KeyError for
@@ -442,7 +567,11 @@ def convert_backbone_state(backbone: str, state: Dict[str, np.ndarray]):
         from ..models.backbones.hrnet import HRNET_SPECS
 
         return convert_hrnet_state(state, HRNET_SPECS[backbone])
-    if backbone.startswith("xception") or backbone == "generic":
+    if backbone.startswith("xception"):
+        if any(".rep." in k for k in state):
+            return convert_xception_official_state(state)
+        return convert_generic_state(state)
+    if backbone == "generic":
         # flax-scope-named checkpoints (tools/convert_weights.py layout)
         return convert_generic_state(state)
     raise KeyError(f"No torch->jax converter for backbone {backbone!r}")
