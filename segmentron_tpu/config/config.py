@@ -115,8 +115,12 @@ class SegmentronConfig(dict):
                 lowered = value.lower()
                 if lowered in ("true", "1", "yes"):
                     return True
-                if lowered in ("false", "0", "no"):
+                if lowered in ("false", "0", "no", "none"):
                     return False
+                if lowered in ("pw", "full"):
+                    # tri-state knobs (TPU.INT8_ACTIVATIONS): bool
+                    # default, mode-string overrides from CLI/YAML
+                    return lowered
             if isinstance(value, int):
                 return bool(value)
             raise TypeError(f"Cannot coerce {value!r} to bool for key {key}")
@@ -133,6 +137,11 @@ class SegmentronConfig(dict):
             parsed = yaml.safe_load(io.StringIO(value))
             if isinstance(current, float) and isinstance(parsed, int):
                 parsed = float(parsed)
+            if current in ("pw", "full") and isinstance(parsed, str):
+                # tri-state knob already holding a mode string: keep the
+                # same off-spellings working in either order
+                if parsed.lower() in ("false", "0", "no", "none"):
+                    return False
             return parsed
         return SegmentronConfig._wrap(value)
 

@@ -64,3 +64,17 @@ def test_dump_roundtrip():
 
     loaded = yaml.safe_load(c.dump())
     assert loaded == {"A": {"B": [1, 2]}, "C": 1.5}
+
+
+def test_tri_state_int8_knob_cli_coercion(fresh_cfg):
+    """TPU.INT8_ACTIVATIONS is bool-by-default but accepts the mode
+    strings "pw"/"full" from CLI opts and YAML (the bench default mode
+    must be settable via tools/eval.py KEY VALUE overrides)."""
+    fresh_cfg.update_from_list(["TPU.INT8_ACTIVATIONS", "pw"])
+    assert fresh_cfg.TPU.INT8_ACTIVATIONS == "pw"
+    fresh_cfg.update_from_list(["TPU.INT8_ACTIVATIONS", "none"])
+    assert not fresh_cfg.TPU.INT8_ACTIVATIONS
+    fresh_cfg.update_from_list(["TPU.INT8_ACTIVATIONS", "full"])
+    assert fresh_cfg.TPU.INT8_ACTIVATIONS == "full"
+    fresh_cfg.update_from_list(["TPU.INT8_ACTIVATIONS", "false"])
+    assert fresh_cfg.TPU.INT8_ACTIVATIONS is False

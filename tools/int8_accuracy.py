@@ -1,0 +1,182 @@
+"""int8 accuracy validation (VERDICT r2 missing #2).
+
+Trains the flagship architecture (DeepLabv3+/Xception-65, slim middle
+flow for CPU compile time) on the synthetic dataset to convergence-ish,
+then runs the COMPLETE TTA eval (multi-scale + flip + sliding windows)
+three ways and reports the metric-level cost of the int8 headline path:
+
+  1. f32/bf16 parity-exact path            (TPU.INT8_ACTIVATIONS off)
+  2. int8 "pw" with the 6-sigma heuristic  (the bench default)
+  3. int8 "pw" with measured-amax ranges   (engine/calibrate.py)
+
+Prints a table of mIoU / pixAcc / per-class IoU deltas / argmax
+agreement, machine-readable JSON on the last line. Run on the CPU mesh:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/int8_accuracy.py [EPOCHS]
+
+(no real datasets exist in this environment — reference mount empty,
+zero egress — so the synthetic set is the only metric-level evidence
+available; results recorded in BASELINE.md "int8 accuracy".)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from segmentron_tpu.config import cfg
+
+
+def setup(epochs: int):
+    cfg.defrost()
+    cfg.DATASET.NAME = "synthetic"
+    cfg.DATASET.WORKERS = 2
+    cfg.MODEL.MODEL_NAME = "DeepLabV3_Plus"
+    cfg.MODEL.BACKBONE = "xception65"
+    cfg.MODEL.OUTPUT_STRIDE = 16
+    cfg.MODEL.XCEPTION.MIDDLE_BLOCKS = 4  # CPU compile-time bound; the
+    #   quantized layer TYPES (entry/middle/exit sepconvs, skips) are
+    #   all exercised, with 4 instead of 16 repeats of the middle block
+    cfg.TRAIN.EPOCHS = epochs
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.CROP_SIZE = 64
+    cfg.TRAIN.BASE_SIZE = 80
+    cfg.TRAIN.BACKBONE_PRETRAINED = False
+    cfg.TRAIN.SNAPSHOT_EPOCH = 10_000  # no checkpoints needed
+    cfg.SOLVER.LR = 0.02
+    cfg.SOLVER.AUX = False
+    cfg.TPU.PREFETCH = 0
+    cfg.TEST.SCALES = [0.75, 1.0]
+    cfg.TEST.FLIP = True
+    cfg.TEST.CROP_SIZE = 64
+    cfg.TEST.DISTRIBUTED = False
+    cfg.DATASET.MODE = "testval"
+
+
+def evaluate(variables, tag):
+    from segmentron_tpu.engine import Evaluator
+
+    ev = Evaluator(args=None, variables=variables)
+    ev.dataset.length = 16
+    ev.dataset.image_size = (96, 96)
+    pix_acc, miou, cat_iou = ev.eval()
+    print(f"[{tag}] pixAcc {pix_acc:.4f} mIoU {miou:.4f}")
+    return {
+        "pix_acc": float(pix_acc),
+        "miou": float(miou),
+        "cat_iou": [float(x) for x in cat_iou],
+    }
+
+
+def agreement(variables_a, variables_b):
+    """Pixel argmax agreement between two model configurations on the
+    val images (single-scale whole-image forwards)."""
+    from segmentron_tpu.data import get_segmentation_dataset
+    from segmentron_tpu.engine.steps import make_predict_fn
+    from segmentron_tpu.models import get_segmentation_model
+
+    model = get_segmentation_model()
+    predict = make_predict_fn(model)
+    ds = get_segmentation_dataset("synthetic", split="val", mode="testval")
+    ds.length, ds.image_size = 8, (96, 96)
+    same = total = 0
+    for i in range(len(ds)):
+        img = np.asarray(ds[i][0])[None]
+        pa = np.argmax(np.asarray(predict(variables_a, img)), -1)
+        pb = np.argmax(np.asarray(predict(variables_b, img)), -1)
+        same += int((pa == pb).sum())
+        total += pa.size
+    return same / total
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    setup(epochs)
+    from segmentron_tpu.engine import Trainer
+    from segmentron_tpu.engine.calibrate import calibrate_int8_amax
+
+    class A:
+        log_iter, val_epoch, skip_val, resume = 20, 10_000, True, False
+
+    trainer = Trainer(args=A())
+    final_loss = trainer.train()
+    print(f"trained {epochs} epochs, final loss {final_loss:.4f}")
+    variables = {
+        "params": jax.device_get(trainer.state.params),
+        "batch_stats": jax.device_get(trainer.state.batch_stats),
+    }
+
+    results = {}
+    cfg.defrost()
+    cfg.TPU.INT8_ACTIVATIONS = False
+    results["f32"] = evaluate(variables, "f32")
+
+    cfg.defrost()
+    cfg.TPU.INT8_ACTIVATIONS = "pw"
+    results["int8_pw_heuristic"] = evaluate(variables, "int8-pw 6-sigma")
+
+    # measured-amax calibration over 8 val batches
+    cfg.defrost()
+    cfg.TPU.INT8_ACTIVATIONS = "pw"
+    from segmentron_tpu.data import get_segmentation_dataset
+
+    cal_ds = get_segmentation_dataset("synthetic", split="val", mode="testval")
+    cal_ds.length, cal_ds.image_size = 8, (96, 96)
+    cal_batches = [np.asarray(cal_ds[i][0])[None] for i in range(8)]
+    calibrated = calibrate_int8_amax(
+        trainer.model, dict(variables), cal_batches
+    )
+    results["int8_pw_calibrated"] = evaluate(calibrated, "int8-pw calibrated")
+
+    cfg.defrost()
+    cfg.TPU.INT8_ACTIVATIONS = "pw"
+    results["agreement_heuristic"] = agreement(variables, variables)
+
+    f32_vars = variables
+    cfg.TPU.INT8_ACTIVATIONS = "pw"
+    # agreement f32-vs-int8: predict fn reads cfg at trace; easiest is
+    # two Evaluator-style passes — compare via fresh predicts
+    from segmentron_tpu.engine.steps import make_predict_fn
+    from segmentron_tpu.models import get_segmentation_model
+
+    model = get_segmentation_model()
+    ds = get_segmentation_dataset("synthetic", split="val", mode="testval")
+    ds.length, ds.image_size = 8, (96, 96)
+
+    def preds(variables, int8):
+        cfg.defrost()
+        cfg.TPU.INT8_ACTIVATIONS = "pw" if int8 else False
+        predict = make_predict_fn(model)
+        out = []
+        for i in range(len(ds)):
+            img = np.asarray(ds[i][0])[None]
+            out.append(np.argmax(np.asarray(predict(variables, img)), -1))
+        return np.stack(out)
+
+    p_f32 = preds(f32_vars, False)
+    p_heur = preds(f32_vars, True)
+    p_cal = preds(calibrated, True)
+    results["agreement_heuristic"] = float((p_f32 == p_heur).mean())
+    results["agreement_calibrated"] = float((p_f32 == p_cal).mean())
+
+    d_heur = results["int8_pw_heuristic"]["miou"] - results["f32"]["miou"]
+    d_cal = results["int8_pw_calibrated"]["miou"] - results["f32"]["miou"]
+    print(f"\nmIoU delta: heuristic {d_heur:+.4f}, calibrated {d_cal:+.4f}")
+    print(f"argmax agreement vs f32: heuristic "
+          f"{results['agreement_heuristic']:.4%}, calibrated "
+          f"{results['agreement_calibrated']:.4%}")
+    per_class = np.asarray(results["int8_pw_heuristic"]["cat_iou"]) - \
+        np.asarray(results["f32"]["cat_iou"])
+    print(f"worst per-class IoU delta (heuristic): {per_class.min():+.4f}")
+    results["miou_delta_heuristic"] = float(d_heur)
+    results["miou_delta_calibrated"] = float(d_cal)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Host input-pipeline throughput benchmark (VERDICT r2 weak #4 /
+SURVEY §7 "input pipeline throughput").
+
+Measures loader img/s for the TRAIN path (Cityscapes-shaped 2048x1024
+JPEG -> random scale/crop/flip/blur -> normalized crop) and the
+TESTVAL path (whole-image decode+normalize), against the chip's
+measured consumption rates (38.9 img/s train @768^2, 73 img/s serving).
+
+Generates synthetic JPEGs once into a temp dir (no real datasets exist
+in this environment), then times ``DataLoader`` end to end — decode,
+augmentation and batch stacking included — for several worker counts.
+
+  python tools/loader_bench.py [n_images] [crop]
+
+Prints one JSON line per configuration.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+from segmentron_tpu.config import cfg
+from segmentron_tpu.data.dataloader.seg_data_base import SegmentationDataset
+from segmentron_tpu.data.loader import DataLoader
+
+
+class JpegDirSegmentation(SegmentationDataset):
+    """Cityscapes-shaped on-disk dataset: <root>/img_N.jpg + mask_N.png."""
+
+    NUM_CLASS = 19
+
+    def __init__(self, root, split="train", mode=None, n=None, **kw):
+        super().__init__(root, split, mode, **kw)
+        names = sorted(f for f in os.listdir(root) if f.endswith(".jpg"))
+        self.items = names if n is None else names[:n]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index):
+        name = self.items[index]
+        img = Image.open(os.path.join(self.root, name)).convert("RGB")
+        mask = Image.open(
+            os.path.join(self.root, name.replace("img", "mask").replace(".jpg", ".png"))
+        )
+        img_t, mask_t = self.transform_pair(img, mask, index)
+        return img_t, mask_t, name
+
+
+def make_dataset_dir(n: int, size=(2048, 1024)) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"segtron_loaderbench_{size[0]}x{size[1]}_{n}")
+    if os.path.isdir(d) and len(os.listdir(d)) >= 2 * n:
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        # blobby structure so JPEG sizes resemble street scenes, not noise
+        coarse = rng.rand(size[1] // 64 + 1, size[0] // 64 + 1, 3)
+        img = np.kron(coarse, np.ones((64, 64, 1)))[: size[1], : size[0]]
+        img = ((img * 0.8 + 0.2 * rng.rand(size[1], size[0], 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(d, f"img_{i:03d}.jpg"), quality=90)
+        mask = (coarse[..., 0] * 19).astype(np.uint8)
+        mask = np.kron(mask, np.ones((64, 64), np.uint8))[: size[1], : size[0]]
+        Image.fromarray(mask).save(os.path.join(d, f"mask_{i:03d}.png"))
+    return d
+
+
+def bench(dataset, batch_size, workers, epochs=2):
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=dataset.mode == "train",
+        num_workers=workers, prefetch=0,
+    )
+    # warmup (thread pool spinup, file cache)
+    for _ in loader:
+        break
+    n = 0
+    t0 = time.time()
+    for ep in range(epochs):
+        loader.set_epoch(ep)
+        for batch in loader:
+            n += batch["image"].shape[0]
+    dt = time.time() - t0
+    return n / dt
+
+
+def main():
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    crop = int(sys.argv[2]) if len(sys.argv) > 2 else 768
+    root = make_dataset_dir(n_images)
+    cfg.defrost()
+    cfg.DATASET.MEAN, cfg.DATASET.STD = [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]
+
+    for workers in (1, 4, 8, 16):
+        ds = JpegDirSegmentation(
+            root, "train", "train", base_size=1024, crop_size=crop
+        )
+        ips = bench(ds, batch_size=8, workers=workers)
+        print(json.dumps({
+            "path": "train", "crop": crop, "workers": workers,
+            "img_per_sec": round(ips, 2),
+            "vs_chip_demand_38.9": round(ips / 38.9, 2),
+        }))
+
+    for workers in (4, 8):
+        ds = JpegDirSegmentation(root, "val", "testval", crop_size=crop)
+        ips = bench(ds, batch_size=1, workers=workers)
+        print(json.dumps({
+            "path": "testval", "workers": workers,
+            "img_per_sec": round(ips, 2),
+            "vs_chip_demand_73": round(ips / 73.0, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
