@@ -17,8 +17,18 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
 #include <vector>
+
+#if defined(__has_include)
+#if __has_include(<jpeglib.h>)
+#define SEGTRON_HAVE_JPEG 1
+#include <jpeglib.h>
+#endif
+#endif
 
 namespace {
 
@@ -162,6 +172,202 @@ void remap_labels_u8(const uint8_t* src, int n, const int32_t* lut,
                      int32_t* dst) {
 #pragma omp parallel for schedule(static)
   for (int i = 0; i < n; ++i) dst[i] = lut[src[i]];
+}
+
+// ---------------------------------------------------------------- JPEG
+// libjpeg decode (the train path's dominant host cost after the fused
+// augmentation below: PIL's decoder holds the GIL for most of its
+// work; this one runs entirely outside it via ctypes).
+#ifdef SEGTRON_HAVE_JPEG
+namespace {
+struct JErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+static void jerr_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JErr*>(cinfo->err)->jb, 1);
+}
+}  // namespace
+
+// Returns 0 and fills (h, w) on success, -1 on parse error.
+int jpeg_dims(const uint8_t* buf, int len, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jerr_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode into out (h*w*3, RGB). Returns 0 on success.
+int decode_jpeg_rgb(const uint8_t* buf, int len, uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  JErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jerr_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const size_t stride = static_cast<size_t>(cinfo.output_width) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+#else
+int jpeg_dims(const uint8_t*, int, int*, int*) { return -1; }
+int decode_jpeg_rgb(const uint8_t*, int, uint8_t*) { return -1; }
+#endif
+
+// ----------------------------------------------------- train augment
+// The reference's train augmentation (seg_data_base.py::_sync_transform:
+// hflip -> random-scale BILINEAR resize -> pad to crop (u8 fill 0) ->
+// random crop -> gaussian blur -> normalize) fused into ONE pass over
+// the image, OpenMP-parallel, f32 accumulation throughout (PIL rounds
+// the resized image to u8 first; this path is slightly MORE precise).
+// The flip folds into the horizontal resample's source indexing; blur
+// runs on the normalized crop (blur commutes with the per-channel
+// affine normalize exactly). Random draws stay in Python so the
+// per-(seed, epoch, index) augmentation stream is loader-independent.
+void train_augment_u8(const uint8_t* src, int sh, int sw, int flip,
+                      int oh, int ow, int y1, int x1, int crop,
+                      float blur_sigma, const float* mean,
+                      const float* stdev, float* out) {
+  std::vector<Window> wy, wx;
+  std::vector<float> ww_y, ww_x;
+  build_windows(sh, oh, wy, ww_y);
+  build_windows(sw, ow, wx, ww_x);
+  const float inv255 = 1.0f / 255.0f;
+  float inv_std[3], bias[3], padv[3];
+  for (int c = 0; c < 3; ++c) {
+    inv_std[c] = 1.0f / stdev[c];
+    bias[c] = mean[c];
+    padv[c] = (0.0f - mean[c]) * inv_std[c];  // u8-domain 0 pad, normalized
+  }
+
+  // columns of the resized image the crop actually reads
+  const int xlo = x1;
+  const int xhi = std::min(ow, x1 + crop);
+  const int cw = std::max(xhi - xlo, 0);
+
+  // horizontal pass: (sh, cw, 3) f32 — only the needed columns
+  std::vector<float> tmp(static_cast<size_t>(sh) * cw * 3);
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * cw * 3;
+    for (int x = 0; x < cw; ++x) {
+      const Window& w = wx[xlo + x];
+      float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
+      for (int t = 0; t < w.n; ++t) {
+        const float c = ww_x[w.off + t];
+        int sx = w.lo + t;
+        if (flip) sx = sw - 1 - sx;  // hflip == mirrored source columns
+        const uint8_t* p = row + static_cast<size_t>(sx) * 3;
+        acc0 += c * p[0];
+        acc1 += c * p[1];
+        acc2 += c * p[2];
+      }
+      trow[x * 3 + 0] = acc0;
+      trow[x * 3 + 1] = acc1;
+      trow[x * 3 + 2] = acc2;
+    }
+  }
+
+  // vertical pass + normalize into the (crop, crop, 3) output; rows or
+  // columns beyond the resized image are the reference's u8-zero pad
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < crop; ++i) {
+    float* drow = out + static_cast<size_t>(i) * crop * 3;
+    const int ys = y1 + i;
+    if (ys >= oh) {
+      for (int j = 0; j < crop; ++j)
+        for (int c = 0; c < 3; ++c) drow[j * 3 + c] = padv[c];
+      continue;
+    }
+    const Window& w = wy[ys];
+    for (int j = 0; j < crop; ++j) {
+      if (j >= cw) {
+        drow[j * 3 + 0] = padv[0];
+        drow[j * 3 + 1] = padv[1];
+        drow[j * 3 + 2] = padv[2];
+        continue;
+      }
+      float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
+      for (int t = 0; t < w.n; ++t) {
+        const float c = ww_y[w.off + t];
+        const float* p =
+            tmp.data() + (static_cast<size_t>(w.lo + t) * cw + j) * 3;
+        acc0 += c * p[0];
+        acc1 += c * p[1];
+        acc2 += c * p[2];
+      }
+      drow[j * 3 + 0] = (acc0 * inv255 - bias[0]) * inv_std[0];
+      drow[j * 3 + 1] = (acc1 * inv255 - bias[1]) * inv_std[1];
+      drow[j * 3 + 2] = (acc2 * inv255 - bias[2]) * inv_std[2];
+    }
+  }
+
+  // separable gaussian blur on the normalized crop (sigma = PIL radius)
+  if (blur_sigma > 0.f) {
+    const int r = std::max(1, static_cast<int>(blur_sigma * 3.0f + 0.5f));
+    std::vector<float> k(2 * r + 1);
+    float ksum = 0.f;
+    for (int t = -r; t <= r; ++t) {
+      k[t + r] = std::exp(-0.5f * t * t / (blur_sigma * blur_sigma));
+      ksum += k[t + r];
+    }
+    for (float& v : k) v /= ksum;
+    std::vector<float> tmp2(static_cast<size_t>(crop) * crop * 3);
+#pragma omp parallel for schedule(static)
+    for (int i = 0; i < crop; ++i) {  // horizontal
+      const float* srow = out + static_cast<size_t>(i) * crop * 3;
+      float* trow = tmp2.data() + static_cast<size_t>(i) * crop * 3;
+      for (int j = 0; j < crop; ++j) {
+        float acc[3] = {0.f, 0.f, 0.f};
+        for (int t = -r; t <= r; ++t) {
+          const int jj = std::min(crop - 1, std::max(0, j + t));
+          const float c = k[t + r];
+          for (int ch = 0; ch < 3; ++ch)
+            acc[ch] += c * srow[jj * 3 + ch];
+        }
+        for (int ch = 0; ch < 3; ++ch) trow[j * 3 + ch] = acc[ch];
+      }
+    }
+#pragma omp parallel for schedule(static)
+    for (int i = 0; i < crop; ++i) {  // vertical
+      float* drow = out + static_cast<size_t>(i) * crop * 3;
+      for (int j = 0; j < crop; ++j) {
+        float acc[3] = {0.f, 0.f, 0.f};
+        for (int t = -r; t <= r; ++t) {
+          const int ii = std::min(crop - 1, std::max(0, i + t));
+          const float c = k[t + r];
+          const float* p =
+              tmp2.data() + (static_cast<size_t>(ii) * crop + j) * 3;
+          for (int ch = 0; ch < 3; ++ch) acc[ch] += c * p[ch];
+        }
+        for (int ch = 0; ch < 3; ++ch) drow[j * 3 + ch] = acc[ch];
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -23,6 +23,9 @@ __all__ = [
     "fused_resize_normalize",
     "resize_nearest_i32",
     "remap_labels",
+    "decode_jpeg",
+    "open_rgb",
+    "train_augment",
 ]
 
 _LOCK = threading.Lock()
@@ -55,13 +58,20 @@ def _build() -> Optional[str]:
     os.makedirs(cache_dir, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-o", so, _SRC,
+        "-o", so, _SRC, "-ljpeg",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so
     except Exception:
-        return None
+        # no libjpeg on this system: build without it (the decode entry
+        # points compile to stubs returning -1 -> PIL fallback)
+        try:
+            subprocess.run(cmd[:-1], check=True, capture_output=True,
+                           timeout=120)
+            return so
+        except Exception:
+            return None
 
 
 def native_lib() -> Optional[ctypes.CDLL]:
@@ -90,6 +100,15 @@ def native_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.resize_nearest_i32.argtypes = [i32p, c_int, c_int, i32p, c_int, c_int]
         lib.remap_labels_u8.argtypes = [u8p, c_int, i32p, i32p]
+        c_intp = ctypes.POINTER(ctypes.c_int)
+        lib.jpeg_dims.argtypes = [u8p, c_int, c_intp, c_intp]
+        lib.jpeg_dims.restype = c_int
+        lib.decode_jpeg_rgb.argtypes = [u8p, c_int, u8p]
+        lib.decode_jpeg_rgb.restype = c_int
+        lib.train_augment_u8.argtypes = [
+            u8p, c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_int,
+            ctypes.c_float, f32p, f32p, f32p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -127,6 +146,72 @@ def remap_labels(src: np.ndarray, lut: np.ndarray) -> np.ndarray:
         lib.remap_labels_u8(src.reshape(-1), src.size, lut, dst.reshape(-1))
         return dst
     return lut[src]
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """JPEG bytes -> u8 (H, W, 3) RGB via libjpeg (GIL released), or
+    None when the native lib / libjpeg is unavailable or parsing fails
+    (caller falls back to PIL)."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.jpeg_dims(buf, buf.size, ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.decode_jpeg_rgb(buf, buf.size, out.reshape(-1)) != 0:
+        return None
+    return out
+
+
+def open_rgb(path: str):
+    """Open an image as a PIL RGB image, decoding JPEGs natively
+    (libjpeg, outside the GIL) when possible. Returns a PIL Image
+    either way so the transform pipeline is unchanged."""
+    from PIL import Image
+
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            with open(path, "rb") as f:
+                arr = decode_jpeg(f.read())
+        except OSError:
+            arr = None
+        if arr is not None:
+            return Image.fromarray(arr)
+    return Image.open(path).convert("RGB")
+
+
+def train_augment(
+    src: np.ndarray,
+    flip: bool,
+    out_hw,
+    crop_yx,
+    crop: int,
+    blur_sigma: float,
+    mean: np.ndarray,
+    std: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Fused train augmentation (native/segtron_host.cpp::
+    train_augment_u8): hflip + random-scale resize to ``out_hw`` + pad
+    + crop ``crop`` at ``crop_yx`` + gaussian blur + normalize, one
+    OpenMP pass. Returns f32 (crop, crop, 3), or None without the
+    native lib."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    oh, ow = out_hw
+    y1, x1 = crop_yx
+    out = np.empty((crop, crop, 3), np.float32)
+    lib.train_augment_u8(
+        src, src.shape[0], src.shape[1], int(flip), int(oh), int(ow),
+        int(y1), int(x1), int(crop), float(blur_sigma),
+        np.ascontiguousarray(mean, np.float32),
+        np.ascontiguousarray(std, np.float32), out,
+    )
+    return out
 
 
 def resize_nearest_i32(src: np.ndarray, out_hw) -> np.ndarray:

@@ -77,7 +77,9 @@ class ADE20KSegmentation(SegmentationDataset):
         return (np.asarray(mask, np.int32) - 1).astype(np.int32)
 
     def __getitem__(self, index: int):
-        img = Image.open(self.images[index]).convert("RGB")
+        from .._native import open_rgb
+
+        img = open_rgb(self.images[index])
         if self.mode == "test":
             return self.transform_pair(img, None)[0], None, os.path.basename(
                 self.images[index]

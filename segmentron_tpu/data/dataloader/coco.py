@@ -90,7 +90,9 @@ class COCOSegmentation(SegmentationDataset):
     def __getitem__(self, index: int):
         img_id = self.ids[index]
         meta = self.coco.loadImgs(img_id)[0]
-        img = Image.open(os.path.join(self.img_dir, meta["file_name"])).convert("RGB")
+        from .._native import open_rgb
+
+        img = open_rgb(os.path.join(self.img_dir, meta["file_name"]))
         target = self.coco.loadAnns(self.coco.getAnnIds(imgIds=img_id))
         mask = Image.fromarray(
             self._gen_seg_mask(target, meta["height"], meta["width"])

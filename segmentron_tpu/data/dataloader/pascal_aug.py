@@ -52,7 +52,9 @@ class VOCAugSegmentation(SegmentationDataset):
         return Image.fromarray(arr)
 
     def __getitem__(self, index: int):
-        img = Image.open(self.images[index]).convert("RGB")
+        from .._native import open_rgb
+
+        img = open_rgb(self.images[index])
         mask = self._load_mat_mask(self.masks[index])
         img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

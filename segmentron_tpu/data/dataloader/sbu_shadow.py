@@ -45,7 +45,9 @@ class SBUSegmentation(SegmentationDataset):
         return (np.asarray(mask.convert("L"), np.int32) > 127).astype(np.int32)
 
     def __getitem__(self, index: int):
-        img = Image.open(self.images[index]).convert("RGB")
+        from .._native import open_rgb
+
+        img = open_rgb(self.images[index])
         mask = Image.open(self.masks[index])
         img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

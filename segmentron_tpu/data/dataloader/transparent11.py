@@ -51,7 +51,9 @@ class TransparentSegmentation(SegmentationDataset):
         return arr.astype(np.int32)
 
     def __getitem__(self, index: int):
-        img = Image.open(self.images[index]).convert("RGB")
+        from .._native import open_rgb
+
+        img = open_rgb(self.images[index])
         mask = Image.open(self.masks[index])
         img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])
