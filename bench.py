@@ -70,6 +70,8 @@ def main():
     cfg.TPU.INT8_ACTIVATIONS = {"1": True, "full": True, "pw": "pw"}.get(
         int8_env, False
     )
+    if "BENCH_FUSED_STEM" in os.environ:
+        cfg.TPU.FUSED_STEM = os.environ["BENCH_FUSED_STEM"] == "1"
     model = get_segmentation_model()
 
     h = int(os.environ.get("BENCH_H", 1024))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 
 from ...modules.basic import ConvBNReLU, SeparableConv2d, conv2d
 from ...modules.batch_norm import NormConfig
@@ -231,6 +232,30 @@ class Xception65(nn.Module):
     variant: str = "65"
     norm: NormConfig = NormConfig()
 
+    def _fused_stem_ok(self, x, train: bool) -> bool:
+        """Route conv1+conv2 through the single fused pallas kernel
+        (ops/entrychain.py) — eval only, default off until the
+        model-level A/B (BASELINE.md round 3)."""
+        import os
+
+        from ...config import cfg
+        from ...ops.entrychain import stem_supported
+        from ...ops.quant import QTensor
+
+        if train or self.is_initializing():
+            return False
+        if not bool(cfg.TPU.FUSED_STEM):
+            return False
+        if isinstance(x, QTensor):  # full-int8 mode quantizes the input
+            return False
+        if self.norm.bn_type not in ("BN", "SyncBN", "FrozenBN"):
+            return False
+        interpret = os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
+        if not interpret and jax.default_backend() != "tpu":
+            return False
+        n, h, w, c = x.shape
+        return stem_supported(h, w, c)
+
     def _int8_mode(self, train: bool) -> bool:
         from ...config import cfg
 
@@ -265,8 +290,24 @@ class Xception65(nn.Module):
             return dequantize(t) if isinstance(t, QTensor) else t
 
         # entry flow
-        x = ConvBNReLU(32, 3, 2, norm=self.norm, name="conv1")(x, train)
-        x = ConvBNReLU(64, 3, 1, norm=self.norm, name="conv2")(x, train)
+        if self._fused_stem_ok(x, train):
+            from ...modules.basic import _ConvBNParams
+            from ...ops.entrychain import fused_stem
+            from ...ops.quant import bn_folded_affine
+            import os as _os
+
+            k1, (s1, b1, m1, v1) = _ConvBNParams((3, 3, 3, 32), name="conv1")()
+            k2, (s2, b2, m2, v2) = _ConvBNParams((3, 3, 32, 64), name="conv2")()
+            a1, c1b = bn_folded_affine(s1, b1, m1, v1, self.norm.eps)
+            a2, c2b = bn_folded_affine(s2, b2, m2, v2, self.norm.eps)
+            x = fused_stem(
+                x, k1, a1, c1b, k2, a2, c2b,
+                interpret=_os.environ.get("SEGMENTRON_PALLAS_INTERPRET")
+                == "1",
+            )
+        else:
+            x = ConvBNReLU(32, 3, 2, norm=self.norm, name="conv1")(x, train)
+            x = ConvBNReLU(64, 3, 1, norm=self.norm, name="conv2")(x, train)
         if self.variant == "71":
             # Xception-71: stride spread over two extra entry blocks
             x = XceptionBlock(

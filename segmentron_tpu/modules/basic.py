@@ -193,6 +193,20 @@ class _SepParams(nn.Module):
         return dw, bn1, pw, bn2
 
 
+class _ConvBNParams(nn.Module):
+    """Shadow declaration of a ``ConvBNReLU``'s variables (scope names
+    ``conv``/``bn``) for fused-kernel paths (e.g. ops/entrychain.py's
+    fused stem)."""
+
+    shape: Tuple[int, ...]  # HWIO
+
+    @nn.compact
+    def __call__(self):
+        w = _SharedKernel(self.shape, name="conv")()
+        bn = _SharedBN(name="bn")(self.shape[-1])
+        return w, bn
+
+
 class SeparableConv2d(nn.Module):
     """Depthwise 3x3 (+norm[/relu]) then pointwise 1x1 (+norm).
 

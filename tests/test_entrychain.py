@@ -1,0 +1,83 @@
+"""Fused stem kernel (ops/entrychain.py) vs the XLA oracle — exact up
+to f32 reassociation, across strip edges, W-block edges and both H
+edges (the zero-padding masks)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segmentron_tpu.ops.entrychain import (
+    fused_stem, fused_stem_ref, stem_supported,
+)
+
+
+def _params(rng, dtype=jnp.float32):
+    k1 = jnp.asarray(rng.randn(3, 3, 3, 32) * 0.2, dtype)
+    k2 = jnp.asarray(rng.randn(3, 3, 32, 64) * 0.1, dtype)
+    a1 = jnp.asarray(rng.rand(32) + 0.5, jnp.float32)
+    b1 = jnp.asarray(rng.randn(32) * 0.3, jnp.float32)
+    a2 = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+    b2 = jnp.asarray(rng.randn(64) * 0.3, jnp.float32)
+    return k1, a1, b1, k2, a2, b2
+
+
+def test_stem_supported():
+    assert stem_supported(1024, 2048, 3)
+    assert stem_supported(128, 64, 3, strip=16)
+    assert not stem_supported(1024, 2048, 4)
+    assert not stem_supported(1022, 2048, 3)
+    assert not stem_supported(64, 2048, 3, strip=32)  # single strip
+
+
+@pytest.mark.parametrize("h,w,strip", [
+    (128, 64, 16),   # several strips, small width (wb=4)
+    (96, 96, 8),     # odd-ish geometry
+    (64, 160, 16),   # exactly 2 strips -> both edge masks active
+])
+def test_fused_stem_matches_xla(h, w, strip):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+    params = _params(rng)
+
+    want = np.asarray(fused_stem_ref(x, *params))
+    got = np.asarray(fused_stem(x, *params, strip=strip, interpret=True))
+    assert got.shape == want.shape == (1, h // 2, w // 2, 64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_xception_fused_stem_model_parity(fresh_cfg, monkeypatch):
+    """TPU.FUSED_STEM routes the Xception conv1+conv2 through the
+    kernel with the SAME parameter tree — backbone outputs must match
+    the regular path (interpret mode on CPU)."""
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    monkeypatch.setenv("SEGMENTRON_PALLAS_INTERPRET", "1")
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 16
+    fresh_cfg.MODEL.XCEPTION.MIDDLE_BLOCKS = 1
+    bb = get_segmentation_backbone("xception65", NormConfig())
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 96, 64, 3), jnp.float32
+    )
+    variables = bb.init(jax.random.PRNGKey(0), x)
+
+    fresh_cfg.TPU.FUSED_STEM = False
+    ref = bb.apply(variables, x, False)
+    fresh_cfg.TPU.FUSED_STEM = True
+    got = bb.apply(variables, x, False)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-4,
+            err_msg=f"c{i + 1}",
+        )
+
+
+def test_fused_stem_batch2():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    params = _params(rng)
+    want = np.asarray(fused_stem_ref(x, *params))
+    got = np.asarray(fused_stem(x, *params, strip=16, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
