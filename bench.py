@@ -71,7 +71,8 @@ def main():
         int8_env, False
     )
     if "BENCH_FUSED_STEM" in os.environ:
-        cfg.TPU.FUSED_STEM = os.environ["BENCH_FUSED_STEM"] == "1"
+        v = os.environ["BENCH_FUSED_STEM"]
+        cfg.TPU.FUSED_STEM = "block1" if v == "block1" else (v == "1")
     model = get_segmentation_model()
 
     h = int(os.environ.get("BENCH_H", 1024))

@@ -117,9 +117,10 @@ class SegmentronConfig(dict):
                     return True
                 if lowered in ("false", "0", "no", "none"):
                     return False
-                if lowered in ("pw", "full"):
-                    # tri-state knobs (TPU.INT8_ACTIVATIONS): bool
-                    # default, mode-string overrides from CLI/YAML
+                if lowered in ("pw", "full", "stem", "block1"):
+                    # tri-state knobs (TPU.INT8_ACTIVATIONS,
+                    # TPU.FUSED_STEM): bool default, mode-string
+                    # overrides from CLI/YAML
                     return lowered
             if isinstance(value, int):
                 return bool(value)

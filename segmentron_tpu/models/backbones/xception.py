@@ -232,29 +232,37 @@ class Xception65(nn.Module):
     variant: str = "65"
     norm: NormConfig = NormConfig()
 
-    def _fused_stem_ok(self, x, train: bool) -> bool:
-        """Route conv1+conv2 through the single fused pallas kernel
-        (ops/entrychain.py) — eval only, default off until the
-        model-level A/B (BASELINE.md round 3)."""
+    def _fused_stem_mode(self, x, train: bool) -> str:
+        """'' (off) | 'stem' (conv1+conv2 as one pallas kernel) |
+        'block1' (stem + whole block1 as one kernel, ops/entrychain.py)
+        — eval only; defaults decided by the model-level A/B
+        (BASELINE.md round 3)."""
         import os
 
         from ...config import cfg
-        from ...ops.entrychain import stem_supported
+        from ...ops.entrychain import stem_block1_supported, stem_supported
         from ...ops.quant import QTensor
 
         if train or self.is_initializing():
-            return False
-        if not bool(cfg.TPU.FUSED_STEM):
-            return False
+            return ""
+        mode = cfg.TPU.FUSED_STEM
+        if not mode:
+            return ""
+        mode = "block1" if mode == "block1" else "stem"
         if isinstance(x, QTensor):  # full-int8 mode quantizes the input
-            return False
+            return ""
         if self.norm.bn_type not in ("BN", "SyncBN", "FrozenBN"):
-            return False
+            return ""
         interpret = os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
         if not interpret and jax.default_backend() != "tpu":
-            return False
+            return ""
         n, h, w, c = x.shape
-        return stem_supported(h, w, c)
+        if mode == "block1":
+            # phase-2 also requires the standard block1 geometry
+            if self.variant != "65":
+                return ""
+            return "block1" if stem_block1_supported(h, w, c) else ""
+        return "stem" if stem_supported(h, w, c) else ""
 
     def _int8_mode(self, train: bool) -> bool:
         from ...config import cfg
@@ -290,21 +298,59 @@ class Xception65(nn.Module):
             return dequantize(t) if isinstance(t, QTensor) else t
 
         # entry flow
-        if self._fused_stem_ok(x, train):
-            from ...modules.basic import _ConvBNParams
-            from ...ops.entrychain import fused_stem
-            from ...ops.quant import bn_folded_affine
+        fused_mode = self._fused_stem_mode(x, train)
+        if fused_mode:
             import os as _os
 
+            from ...modules.basic import _ConvBNParams, _SepParams
+            from ...ops.entrychain import fused_stem, fused_stem_block1
+            from ...ops.quant import bn_folded_affine
+
+            interpret = (
+                _os.environ.get("SEGMENTRON_PALLAS_INTERPRET") == "1"
+            )
             k1, (s1, b1, m1, v1) = _ConvBNParams((3, 3, 3, 32), name="conv1")()
             k2, (s2, b2, m2, v2) = _ConvBNParams((3, 3, 32, 64), name="conv2")()
             a1, c1b = bn_folded_affine(s1, b1, m1, v1, self.norm.eps)
             a2, c2b = bn_folded_affine(s2, b2, m2, v2, self.norm.eps)
-            x = fused_stem(
-                x, k1, a1, c1b, k2, a2, c2b,
-                interpret=_os.environ.get("SEGMENTRON_PALLAS_INTERPRET")
-                == "1",
-            )
+            if fused_mode == "block1":
+                from ...modules.basic import _SharedBN, _SharedKernel
+
+                class _B1(nn.Module):
+                    eps: float
+
+                    @nn.compact
+                    def __call__(self):
+                        seps = []
+                        cin = 64
+                        for j in range(3):
+                            dw, dbn, pw, pbn = _SepParams(
+                                128, name=f"sep{j + 1}"
+                            )(cin)
+                            ad, bd = bn_folded_affine(*dbn, self.eps)
+                            ap, bp = bn_folded_affine(*pbn, self.eps)
+                            seps.append((dw, ad, bd, pw, ap, bp))
+                            cin = 128
+                        wsk = _SharedKernel((1, 1, 64, 128),
+                                            name="skip_conv")()
+                        sbn = _SharedBN(name="skip_bn")(128)
+                        a_s, b_s = bn_folded_affine(*sbn, self.eps)
+                        return tuple(seps), (wsk, a_s, b_s)
+
+                sep_p, skip_p = _B1(eps=self.norm.eps, name="block1")()
+                x = fused_stem_block1(
+                    x, (k1, a1, c1b, k2, a2, c2b), sep_p, skip_p,
+                    strip=4, interpret=interpret,
+                )
+            else:
+                # strip=8: strip=16 is ~0.1 ms faster standalone but
+                # sits 1.5 MB over the 16 MB scoped-VMEM cliff once the
+                # consumer graph constrains operand layouts (measured
+                # in-model OOM)
+                x = fused_stem(
+                    x, k1, a1, c1b, k2, a2, c2b, strip=8,
+                    interpret=interpret,
+                )
         else:
             x = ConvBNReLU(32, 3, 2, norm=self.norm, name="conv1")(x, train)
             x = ConvBNReLU(64, 3, 1, norm=self.norm, name="conv2")(x, train)
@@ -316,7 +362,7 @@ class Xception65(nn.Module):
             x = XceptionBlock(
                 (128, 128, 128), 1, norm=self.norm, name="block1"
             )(x, train)
-        else:
+        elif fused_mode != "block1":
             x = XceptionBlock(
                 (128, 128, 128), 2, norm=self.norm, relu_first=False, name="block1"
             )(x, train)

@@ -9,7 +9,8 @@ import jax
 import jax.numpy as jnp
 
 from segmentron_tpu.ops.entrychain import (
-    fused_stem, fused_stem_ref, stem_supported,
+    fused_stem, fused_stem_block1, fused_stem_block1_ref, fused_stem_ref,
+    stem_block1_supported, stem_supported,
 )
 
 
@@ -47,10 +48,11 @@ def test_fused_stem_matches_xla(h, w, strip):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_xception_fused_stem_model_parity(fresh_cfg, monkeypatch):
-    """TPU.FUSED_STEM routes the Xception conv1+conv2 through the
-    kernel with the SAME parameter tree — backbone outputs must match
-    the regular path (interpret mode on CPU)."""
+@pytest.mark.parametrize("mode", [True, "block1"])
+def test_xception_fused_stem_model_parity(fresh_cfg, monkeypatch, mode):
+    """TPU.FUSED_STEM ('stem' and 'block1' modes) routes the Xception
+    entry through the kernels with the SAME parameter tree — backbone
+    outputs must match the regular path (interpret mode on CPU)."""
     from segmentron_tpu.models.backbones import get_segmentation_backbone
     from segmentron_tpu.modules.batch_norm import NormConfig
 
@@ -65,7 +67,7 @@ def test_xception_fused_stem_model_parity(fresh_cfg, monkeypatch):
 
     fresh_cfg.TPU.FUSED_STEM = False
     ref = bb.apply(variables, x, False)
-    fresh_cfg.TPU.FUSED_STEM = True
+    fresh_cfg.TPU.FUSED_STEM = mode
     got = bb.apply(variables, x, False)
     for i, (g, r) in enumerate(zip(got, ref)):
         np.testing.assert_allclose(
@@ -81,3 +83,51 @@ def test_fused_stem_batch2():
     want = np.asarray(fused_stem_ref(x, *params))
     got = np.asarray(fused_stem(x, *params, strip=16, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _block1_params(rng):
+    stem_p = _params(rng)
+
+    def sep(cin, cout):
+        return (
+            jnp.asarray(rng.randn(3, 3, 1, cin) * 0.2, jnp.float32),
+            jnp.asarray(rng.rand(cin) + 0.5, jnp.float32),
+            jnp.asarray(rng.randn(cin) * 0.3, jnp.float32),
+            jnp.asarray(rng.randn(1, 1, cin, cout) * 0.1, jnp.float32),
+            jnp.asarray(rng.rand(cout) + 0.5, jnp.float32),
+            jnp.asarray(rng.randn(cout) * 0.3, jnp.float32),
+        )
+
+    sep_p = (sep(64, 128), sep(128, 128), sep(128, 128))
+    skip_p = (
+        jnp.asarray(rng.randn(1, 1, 64, 128) * 0.1, jnp.float32),
+        jnp.asarray(rng.rand(128) + 0.5, jnp.float32),
+        jnp.asarray(rng.randn(128) * 0.3, jnp.float32),
+    )
+    return stem_p, sep_p, skip_p
+
+
+def test_stem_block1_supported():
+    assert stem_block1_supported(1024, 2048, 3)
+    assert stem_block1_supported(64, 64, 3, strip=4)
+    assert not stem_block1_supported(1024, 2048, 3, strip=6)
+    assert not stem_block1_supported(1022, 2048, 3)
+
+
+@pytest.mark.parametrize("h,w,strip", [
+    (64, 64, 4),     # 4 strips; both edge masks
+    (96, 128, 4),    # non-square
+    (64, 192, 8),    # exactly 2 strips at strip 8
+])
+def test_fused_stem_block1_matches_xla(h, w, strip):
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, h, w, 3), jnp.float32)
+    stem_p, sep_p, skip_p = _block1_params(rng)
+
+    want = np.asarray(fused_stem_block1_ref(x, stem_p, sep_p, skip_p))
+    got = np.asarray(
+        fused_stem_block1(x, stem_p, sep_p, skip_p, strip=strip,
+                          interpret=True)
+    )
+    assert got.shape == want.shape == (1, h // 4, w // 4, 128)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
