@@ -181,9 +181,12 @@ def _conv1_wblock(taps, k1p, bn1, dtype):
 
 def _conv2_im2col(c1, k2r, bn2, relu, dtype):
     """3x3 s1 conv 32->64 on the blocked conv1 output (R, wb, 256):
-    per-sub-column K=288 im2col (lane slices + block shifts), all
-    sub-columns merged on M into ONE contraction. Output (R-2, wb,
-    M*64), rows shrink by the dy halo."""
+    per-sub-column K=288 im2col (lane slices + block shifts) + dot,
+    one sub-column at a time — merging all of them on M into one
+    contraction builds an (M*S*wb, 288) buffer that blows the 16 MB
+    scoped-VMEM stack at block1 strip sizes (measured 24.7 MB OOM);
+    per-m the transient is 1/M of that and S*wb rows (>=1792) still
+    fill the MXU. Output (R-2, wb, M*64), rows shrink by the dy halo."""
     f32 = jnp.float32
     R, wb = c1.shape[0], c1.shape[1]
     S = R - 2
@@ -195,25 +198,22 @@ def _conv2_im2col(c1, k2r, bn2, relu, dtype):
             return _shift_wb(c1[:, :, :32], +1)
         return c1[:, :, mi * 32 : (mi + 1) * 32]
 
-    cols = []
+    outs = []
     for m in range(_M):
         pieces = []
         for dy in range(3):
             for mi in (m - 1, m, m + 1):
                 pieces.append(sub(mi)[dy : dy + S])
-        cols.append(jnp.concatenate(pieces, axis=2))  # (S, wb, 288)
-    im2col = jnp.concatenate(cols, axis=0).reshape(_M * S * wb, 288)
-    y = jax.lax.dot_general(
-        im2col, k2r, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ).reshape(_M, S, wb, 64)
-    y = y * bn2[0] + bn2[1]
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    # (M, S, wb, 64) -> (S, wb, M*64): M is a leading dim, move it into
-    # lanes with a concat (no shape cast)
-    return jnp.concatenate(
-        [y[m] for m in range(_M)], axis=2
-    ).astype(dtype)
+        im2col = jnp.concatenate(pieces, axis=2).reshape(S * wb, 288)
+        y = jax.lax.dot_general(
+            im2col, k2r, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(S, wb, 64)
+        y = y * bn2[0] + bn2[1]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        outs.append(y.astype(dtype))
+    return jnp.concatenate(outs, axis=2)
 
 
 def _sep_stride1(x, n_sub, cin, dwk, bnd, pwk, bnp, dtype):
@@ -232,22 +232,22 @@ def _sep_stride1(x, n_sub, cin, dwk, bnd, pwk, bnp, dtype):
             return _shift_wb(x[:, :, :cin], +1)
         return x[:, :, mi * cin : (mi + 1) * cin]
 
-    dws = []
+    outs = []
     for m in range(n_sub):
         acc = None
         for dy in range(3):
             for dx in range(3):
                 t = sub(m + dx - 1)[dy : dy + S].astype(f32) * dwk[dy, dx]
                 acc = t if acc is None else acc + t
-        dws.append((acc * bnd[0] + bnd[1]).astype(dtype))  # (S, wb, cin)
-    lhs = jnp.concatenate(dws, axis=0).reshape(n_sub * S * wb, cin)
-    y = jax.lax.dot_general(
-        lhs, pwk, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ).reshape(n_sub, S, wb, cout)
-    y = y * bnp[0] + bnp[1]
-    return jnp.concatenate(
-        [y[m] for m in range(n_sub)], axis=2
-    ).astype(dtype)
+        dw = (acc * bnd[0] + bnd[1]).astype(dtype)  # (S, wb, cin)
+        # per-m pointwise dot (see _conv2_im2col: merged-on-M LHS
+        # buffers OOM the scoped-VMEM stack at block1 strips)
+        y = jax.lax.dot_general(
+            dw.reshape(S * wb, cin), pwk, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(S, wb, cout)
+        outs.append((y * bnp[0] + bnp[1]).astype(dtype))
+    return jnp.concatenate(outs, axis=2)
 
 
 # --------------------------------------------------------------- fused stem
