@@ -191,11 +191,16 @@ def _conv2_im2col(c1, k2r, bn2, relu, dtype):
     R, wb = c1.shape[0], c1.shape[1]
     S = R - 2
 
+    # shift the WHOLE-lane array first, then lane-slice: concatenating a
+    # lane-offset slice with fresh zeros trips a Mosaic layout bug
+    # ("tpu.concatenate" with mismatched vpad offsets)
+    prev, nxt = _shift_wb(c1, -1), _shift_wb(c1, +1)
+
     def sub(mi):  # conv1 sub-column mi as (R, wb, 32), cross-block shifted
         if mi < 0:
-            return _shift_wb(c1[:, :, (_M - 1) * 32 :], -1)
+            return prev[:, :, (_M - 1) * 32 :]
         if mi >= _M:
-            return _shift_wb(c1[:, :, :32], +1)
+            return nxt[:, :, :32]
         return c1[:, :, mi * 32 : (mi + 1) * 32]
 
     outs = []
@@ -225,11 +230,13 @@ def _sep_stride1(x, n_sub, cin, dwk, bnd, pwk, bnp, dtype):
     S = R - 2
     cout = pwk.shape[1]
 
+    prev, nxt = _shift_wb(x, -1), _shift_wb(x, +1)  # see _conv2_im2col
+
     def sub(mi):
         if mi < 0:
-            return _shift_wb(x[:, :, (n_sub - 1) * cin :], -1)
+            return prev[:, :, (n_sub - 1) * cin :]
         if mi >= n_sub:
-            return _shift_wb(x[:, :, :cin], +1)
+            return nxt[:, :, :cin]
         return x[:, :, mi * cin : (mi + 1) * cin]
 
     outs = []
@@ -423,13 +430,15 @@ def _stem_block1_kernel(
     dw3 = dw3_ref[...].astype(f32)
     bnd3 = bnd3_ref[...].astype(f32)
 
+    xo_p, xo_n = _shift_wb(xo, -1), _shift_wb(xo, +1)  # see _conv2_im2col
+    xe_p, xe_n = _shift_wb(xe, -1), _shift_wb(xe, +1)
+
     def sub4(mi):  # x4 sub-column with cross-block shifts, both planes
         if mi < 0:
-            return (_shift_wb(xo[:, :, (_M - 1) * 128 :], -1),
-                    _shift_wb(xe[:, :, (_M - 1) * 128 :], -1))
+            return (xo_p[:, :, (_M - 1) * 128 :],
+                    xe_p[:, :, (_M - 1) * 128 :])
         if mi >= _M:
-            return (_shift_wb(xo[:, :, :128], +1),
-                    _shift_wb(xe[:, :, :128], +1))
+            return (xo_n[:, :, :128], xe_n[:, :, :128])
         return (xo[:, :, mi * 128 : (mi + 1) * 128],
                 xe[:, :, mi * 128 : (mi + 1) * 128])
 
