@@ -141,11 +141,18 @@ def stem_block1_supported(h: int, w: int, c: int, strip: int = 4) -> bool:
 # ----------------------------------------------------------- kernel pieces
 def _shift_wb(x, direction):
     """Shift along the W-block (sublane) axis: direction=-1 brings the
-    PREVIOUS block's row into position (zero at the edges)."""
-    z = jnp.zeros_like(x[:, :1])
+    PREVIOUS block's row into position (zero at the edges).
+
+    Implemented as a circular roll + edge mask: the earlier
+    concatenate-with-zeros form trips a Mosaic layout bug when ``x`` is
+    a lane-offset slice ("tpu.concatenate" with mismatched vpad
+    offsets), and hoisting whole-lane shifts costs multi-MB VMEM copies
+    per layer. ``roll`` is single-operand and layout-preserving."""
+    nb = x.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
     if direction == -1:
-        return jnp.concatenate([z, x[:, :-1]], axis=1)
-    return jnp.concatenate([x[:, 1:], z], axis=1)
+        return jnp.where(idx >= 1, pltpu.roll(x, 1, 1), 0)
+    return jnp.where(idx < nb - 1, pltpu.roll(x, nb - 1, 1), 0)
 
 
 def _mask_rows(x, i, lo_local, h_valid, nstrips, strip_rows):
@@ -191,16 +198,11 @@ def _conv2_im2col(c1, k2r, bn2, relu, dtype):
     R, wb = c1.shape[0], c1.shape[1]
     S = R - 2
 
-    # shift the WHOLE-lane array first, then lane-slice: concatenating a
-    # lane-offset slice with fresh zeros trips a Mosaic layout bug
-    # ("tpu.concatenate" with mismatched vpad offsets)
-    prev, nxt = _shift_wb(c1, -1), _shift_wb(c1, +1)
-
     def sub(mi):  # conv1 sub-column mi as (R, wb, 32), cross-block shifted
         if mi < 0:
-            return prev[:, :, (_M - 1) * 32 :]
+            return _shift_wb(c1[:, :, (_M - 1) * 32 :], -1)
         if mi >= _M:
-            return nxt[:, :, :32]
+            return _shift_wb(c1[:, :, :32], +1)
         return c1[:, :, mi * 32 : (mi + 1) * 32]
 
     outs = []
@@ -230,13 +232,11 @@ def _sep_stride1(x, n_sub, cin, dwk, bnd, pwk, bnp, dtype):
     S = R - 2
     cout = pwk.shape[1]
 
-    prev, nxt = _shift_wb(x, -1), _shift_wb(x, +1)  # see _conv2_im2col
-
     def sub(mi):
         if mi < 0:
-            return prev[:, :, (n_sub - 1) * cin :]
+            return _shift_wb(x[:, :, (n_sub - 1) * cin :], -1)
         if mi >= n_sub:
-            return nxt[:, :, :cin]
+            return _shift_wb(x[:, :, :cin], +1)
         return x[:, :, mi * cin : (mi + 1) * cin]
 
     outs = []
@@ -430,15 +430,13 @@ def _stem_block1_kernel(
     dw3 = dw3_ref[...].astype(f32)
     bnd3 = bnd3_ref[...].astype(f32)
 
-    xo_p, xo_n = _shift_wb(xo, -1), _shift_wb(xo, +1)  # see _conv2_im2col
-    xe_p, xe_n = _shift_wb(xe, -1), _shift_wb(xe, +1)
-
     def sub4(mi):  # x4 sub-column with cross-block shifts, both planes
         if mi < 0:
-            return (xo_p[:, :, (_M - 1) * 128 :],
-                    xe_p[:, :, (_M - 1) * 128 :])
+            return (_shift_wb(xo[:, :, (_M - 1) * 128 :], -1),
+                    _shift_wb(xe[:, :, (_M - 1) * 128 :], -1))
         if mi >= _M:
-            return (xo_n[:, :, :128], xe_n[:, :, :128])
+            return (_shift_wb(xo[:, :, :128], +1),
+                    _shift_wb(xe[:, :, :128], +1))
         return (xo[:, :, mi * 128 : (mi + 1) * 128],
                 xe[:, :, mi * 128 : (mi + 1) * 128])
 
