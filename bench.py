@@ -28,6 +28,7 @@ agreement >97% vs fp32 on synthetic parity, see BASELINE.md). "off"
 gives the parity-exact bf16 path; "full" is a measured regression.
 """
 
+import functools
 import json
 import os
 import sys
@@ -116,7 +117,9 @@ def main():
     def forward(v, images):
         return model.apply(v, images, False)[0]
 
-    @jax.jit
+    from segmentron_tpu.utils.compileopts import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def timed_loop(v, images, n):
         # The anti-hoisting dependence chain runs through the PARAMS —
         # specifically the stem conv1 kernel, which EVERY downstream op

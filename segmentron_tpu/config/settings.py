@@ -218,6 +218,10 @@ cfg.TPU.DW_SHIFT = True  # dilated depthwise convs (rate >= 12) as 9
 #   shifted-slice MACs (ops/dwconv.py): XLA's dilated-dw lowering
 #   degrades with rate (d=6 0.49 / d=12 0.81 / d=18 1.18 ms at ASPP
 #   geometry) while the shift form stays flat (~0.67). Exact.
+cfg.TPU.SCOPED_VMEM_KIB = 0  # per-compile xla_tpu_scoped_vmem_limit_kib
+#   override (0 = backend default, 16 MB on v5e). FUSED_STEM="block1"
+#   implies 24576 when left at 0 — the fused entry kernel's stack is
+#   ~19.6 MB (utils/compileopts.py).
 cfg.TPU.FUSED_STEM = False  # conv1+conv2 of the Xception entry as ONE
 #   pallas kernel (ops/entrychain.py): 1.42 vs 1.84 ms standalone on
 #   v5e @1024x2048 (r3). Default from the model-level A/B in

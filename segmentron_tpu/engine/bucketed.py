@@ -243,7 +243,10 @@ class BucketedTTA:
     def _compiled(self, bucket: Tuple[int, int]):
         fn = self._programs.get(bucket)
         if fn is None:
-            fn = jax.jit(functools.partial(self._body, bucket=bucket))
+            from ..utils.compileopts import tpu_compiler_options
+
+            fn = jax.jit(functools.partial(self._body, bucket=bucket),
+                         compiler_options=tpu_compiler_options())
             self._programs[bucket] = fn
         return fn
 

@@ -21,6 +21,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..utils.compileopts import tpu_compiler_options
 from ..utils.score import confusion_matrix_update
 
 __all__ = [
@@ -145,7 +146,8 @@ def make_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    return jax.jit(sharded, donate_argnums=(0,) if donate else (),
+                   compiler_options=tpu_compiler_options())
 
 
 def make_eval_step(
@@ -174,7 +176,7 @@ def make_eval_step(
         out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, compiler_options=tpu_compiler_options())
 
 
 def make_tta_eval_step(
@@ -226,7 +228,7 @@ def make_tta_eval_step(
         out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, compiler_options=tpu_compiler_options())
 
 
 def make_predict_fn(model, compute_dtype=None):
@@ -237,7 +239,7 @@ def make_predict_fn(model, compute_dtype=None):
     half = compute_dtype if compute_dtype is not None else jnp.float32
     mixed = half != jnp.float32
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def predict(variables, images):
         if mixed:
             variables = dict(variables)

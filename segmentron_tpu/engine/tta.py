@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import resize_bilinear
+from ..utils.compileopts import tpu_compiler_options
 
 __all__ = ["predict_whole", "predict_sliding", "multi_scale_predict"]
 
@@ -80,7 +81,7 @@ def _sliding_fn(predict_id, h: int, w: int, ch: int, crop: int, stride: int,
     batched form also fills the chip far better than crop-sized calls)."""
     predict_fn = _PREDICT_REGISTRY[predict_id]
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(variables, image):  # image (1, h, w, ch)
         return _sliding_body(predict_fn, variables, image, crop, stride, nclass)
 
@@ -173,7 +174,7 @@ def _multi_scale_body(
 def _ms_fn(predict_id, nclass, scales, flip, crop_size, align_corners):
     predict_fn = _PREDICT_REGISTRY[predict_id]
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(variables, image):
         return _multi_scale_body(
             predict_fn, variables, image, nclass, list(scales), flip,

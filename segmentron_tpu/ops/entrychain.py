@@ -150,9 +150,13 @@ def _shift_wb(x, direction):
     per layer. ``roll`` is single-operand and layout-preserving."""
     nb = x.shape[1]
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+    # tpu.rotate only supports 32-bit data — roll bf16 via f32
+    xr = x if x.dtype.itemsize == 4 else x.astype(jnp.float32)
     if direction == -1:
-        return jnp.where(idx >= 1, pltpu.roll(x, 1, 1), 0)
-    return jnp.where(idx < nb - 1, pltpu.roll(x, nb - 1, 1), 0)
+        out = jnp.where(idx >= 1, pltpu.roll(xr, 1, 1), 0)
+    else:
+        out = jnp.where(idx < nb - 1, pltpu.roll(xr, nb - 1, 1), 0)
+    return out.astype(x.dtype)
 
 
 def _mask_rows(x, i, lo_local, h_valid, nstrips, strip_rows):
@@ -166,11 +170,24 @@ def _mask_rows(x, i, lo_local, h_valid, nstrips, strip_rows):
     return jnp.where((g >= 0) & (g < h_valid), x, 0)
 
 
-def _conv1_wblock(taps, k1p, bn1, dtype):
+def _row_valid(n, i, lo_local, h_valid, strip_rows):
+    """(n, 1, 1) f32 0/1 validity of rows strip_rows*i + lo_local + k.
+
+    Multiplied into each stage's FINAL per-sub-column affine instead of
+    a whole-tensor _mask_rows pass: the where-copies of c1/x2/x3/x4
+    were ~9.5 MB of scoped-VMEM buffers (measured OOM); a broadcast
+    multiply fused into the existing elementwise chain costs none."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    g = strip_rows * i + lo_local + k
+    return ((g >= 0) & (g < h_valid)).astype(jnp.float32)
+
+
+def _conv1_wblock(taps, k1p, bn1, dtype, valid=None):
     """W-blocked conv1 on three row-tap arrays (R, wb, 48) ->
     (R, wb, 256) post-BN-ReLU (lanes = 8 sub-cols x 32 ch). ``bn1`` is
     pre-tiled to 256 lanes host-side (a lane-split reshape for a (32,)
-    broadcast would be an unsupported Mosaic shape cast)."""
+    broadcast would be an unsupported Mosaic shape cast). ``valid``
+    ((R,1,1) f32 0/1) zeroes out-of-image rows in the same affine."""
     f32 = jnp.float32
     acc = None
     for kh in range(3):
@@ -183,10 +200,12 @@ def _conv1_wblock(taps, k1p, bn1, dtype):
             )
             acc = y if acc is None else acc + y
     y = jnp.maximum(acc.reshape(R, wb, _M * 32) * bn1[0] + bn1[1], 0.0)
+    if valid is not None:
+        y = y * valid
     return y.astype(dtype)
 
 
-def _conv2_im2col(c1, k2r, bn2, relu, dtype):
+def _conv2_im2col(c1, k2r, bn2, relu, dtype, valid=None):
     """3x3 s1 conv 32->64 on the blocked conv1 output (R, wb, 256):
     per-sub-column K=288 im2col (lane slices + block shifts) + dot,
     one sub-column at a time — merging all of them on M into one
@@ -219,11 +238,13 @@ def _conv2_im2col(c1, k2r, bn2, relu, dtype):
         y = y * bn2[0] + bn2[1]
         if relu:
             y = jnp.maximum(y, 0.0)
+        if valid is not None:
+            y = y * valid
         outs.append(y.astype(dtype))
     return jnp.concatenate(outs, axis=2)
 
 
-def _sep_stride1(x, n_sub, cin, dwk, bnd, pwk, bnp, dtype):
+def _sep_stride1(x, n_sub, cin, dwk, bnd, pwk, bnp, dtype, valid=None):
     """Separable conv (dw 3x3 s1 + BN + pw + BN, NO relus — block1's
     relu_first=False layout) on a blocked (R, wb, n_sub*cin) tensor.
     Output (R-2, wb, n_sub*cout)."""
@@ -253,7 +274,10 @@ def _sep_stride1(x, n_sub, cin, dwk, bnd, pwk, bnp, dtype):
             dw.reshape(S * wb, cin), pwk, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         ).reshape(S, wb, cout)
-        outs.append((y * bnp[0] + bnp[1]).astype(dtype))
+        y = y * bnp[0] + bnp[1]
+        if valid is not None:
+            y = y * valid
+        outs.append(y.astype(dtype))
     return jnp.concatenate(outs, axis=2)
 
 
@@ -281,12 +305,12 @@ def _stem_kernel(
 
     R = S + 2
     taps = (odd[0:R], even[0:R], odd[1 : R + 1])  # 2r-1, 2r, 2r+1
-    c1 = _conv1_wblock(
-        taps, k1p_ref[...], bn1_ref[...].astype(jnp.float32), o_ref.dtype
-    )
     # conv1 rows r = s0-1 .. s0+S; rows outside [0, h2) are conv2's
-    # zero H-padding
-    c1 = _mask_rows(c1, i, -1, h2, nstrips, S)
+    # zero H-padding — zeroed inside conv1's own affine
+    c1 = _conv1_wblock(
+        taps, k1p_ref[...], bn1_ref[...].astype(jnp.float32), o_ref.dtype,
+        valid=_row_valid(R, i, -1, h2, S),
+    )
     out = _conv2_im2col(
         c1, k2r_ref[...], bn2_ref[...].astype(jnp.float32), True,
         o_ref.dtype,
@@ -398,27 +422,29 @@ def _stem_block1_kernel(
     # odd[r]; local arrays start at plane row 2t0-8 -> r index offset 4
     R = S2 + 8
     taps = (odd[3 : 3 + R], even[4 : 4 + R], odd[4 : 4 + R])
+    # out-of-image rows of every stage are zeroed inside the stage's
+    # own final affine (fused _row_valid multiply, not a where pass)
     c1 = _conv1_wblock(
-        taps, k1p_ref[...], bn1_ref[...].astype(f32), dt
+        taps, k1p_ref[...], bn1_ref[...].astype(f32), dt,
+        valid=_row_valid(R, i, -4, h2, S2),
     )
-    c1 = _mask_rows(c1, i, -4, h2, nstrips, S2)
 
     x2 = _conv2_im2col(
-        c1, k2r_ref[...], bn2_ref[...].astype(f32), True, dt
+        c1, k2r_ref[...], bn2_ref[...].astype(f32), True, dt,
+        valid=_row_valid(S2 + 6, i, -3, h2, S2),
     )  # rows [2t0-3, 2t0+2S1+2], (2S1+6, wb, M*64)
-    x2 = _mask_rows(x2, i, -3, h2, nstrips, S2)
 
     x3 = _sep_stride1(
         x2, _M, 64, dw1_ref[...].astype(f32), bnd1_ref[...].astype(f32),
         pw1_ref[...], bnp1_ref[...].astype(f32), dt,
+        valid=_row_valid(S2 + 4, i, -2, h2, S2),
     )  # rows [2t0-2, 2t0+2S1+1], (2S1+4, wb, M*128)
-    x3 = _mask_rows(x3, i, -2, h2, nstrips, S2)
 
     x4 = _sep_stride1(
         x3, _M, 128, dw2_ref[...].astype(f32), bnd2_ref[...].astype(f32),
         pw2_ref[...], bnp2_ref[...].astype(f32), dt,
+        valid=_row_valid(S2 + 2, i, -1, h2, S2),
     )  # rows [2t0-1, 2t0+2S1], (2S1+2, wb, M*128)
-    x4 = _mask_rows(x4, i, -1, h2, nstrips, S2)
 
     # ---- sep3: dw 3x3 stride 2 + BN + pw + BN ----------------------
     # H deinterleave: x4 rows 2t0-1+k -> (k even = odd global rows,
