@@ -94,7 +94,10 @@ class BucketedTTA:
         crop_size: Optional[int] = None,
         stride_ratio: float = 2.0 / 3.0,
     ):
-        self.predict_fn = predict_fn
+        # the predictor runs INSIDE this class's jitted per-bucket
+        # programs — unwrap jitted-with-compiler_options predictors
+        # (make_predict_fn), whose options are only legal top-level
+        self.predict_fn = getattr(predict_fn, "raw", predict_fn)
         self.nclass = int(nclass)
         self.scales = tuple(float(s) for s in scales)
         self.flip = bool(flip)

@@ -239,12 +239,16 @@ def make_predict_fn(model, compute_dtype=None):
     half = compute_dtype if compute_dtype is not None else jnp.float32
     mixed = half != jnp.float32
 
-    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
-    def predict(variables, images):
+    def predict_body(variables, images):
         if mixed:
             variables = dict(variables)
             variables["params"] = _cast_floats(variables["params"], half)
             images = images.astype(half)
         return model.apply(variables, images, False)[0].astype(jnp.float32)
 
+    predict = jax.jit(predict_body, compiler_options=tpu_compiler_options())
+    # ``compiler_options`` is only legal on a TOP-LEVEL jit: callers
+    # that nest this predictor inside their own jitted program (TTA,
+    # bucketed eval) must unwrap to the raw traceable body.
+    predict.raw = predict_body
     return predict

@@ -79,7 +79,10 @@ def _sliding_fn(predict_id, h: int, w: int, ch: int, crop: int, stride: int,
     per image instead of one per window (the relay's ~80 ms dispatch
     latency makes eager window loops ~100x slower; on any TPU the
     batched form also fills the chip far better than crop-sized calls)."""
+    # unwrap jitted-with-compiler_options predictors: the options are
+    # only legal on THIS outermost jit, not on a nested one
     predict_fn = _PREDICT_REGISTRY[predict_id]
+    predict_fn = getattr(predict_fn, "raw", predict_fn)
 
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(variables, image):  # image (1, h, w, ch)
@@ -173,6 +176,7 @@ def _multi_scale_body(
 @functools.lru_cache(maxsize=64)
 def _ms_fn(predict_id, nclass, scales, flip, crop_size, align_corners):
     predict_fn = _PREDICT_REGISTRY[predict_id]
+    predict_fn = getattr(predict_fn, "raw", predict_fn)  # see _sliding_fn
 
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(variables, image):

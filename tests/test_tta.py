@@ -61,3 +61,57 @@ def test_multi_scale_returns_source_resolution():
         flip=False,
     )
     assert probs.shape == (1, 30, 42, NCLASS)
+
+
+def test_options_jitted_predictor_nests_in_tta(monkeypatch):
+    """A make_predict_fn predictor carries compiler_options on its own
+    jit (scoped-VMEM for the fused entry chain); nesting it inside the
+    outer TTA jit must NOT trip JAX's "compiler_options can only be
+    passed to top-level jax.jit" check — TTA unwraps to the raw body
+    via the .raw attribute. Regression: tools/eval.py crashed under
+    TPU.FUSED_STEM="block1" (r3)."""
+    import flax.linen as nn
+    import jax
+
+    from segmentron_tpu.engine import steps as steps_mod
+    from segmentron_tpu.engine.bucketed import BucketedTTA
+    from segmentron_tpu.engine.steps import make_predict_fn
+
+    # force options onto the predictor jit even on the CPU test backend
+    monkeypatch.setattr(
+        steps_mod,
+        "tpu_compiler_options",
+        lambda: {"xla_backend_optimization_level": "1"},
+    )
+
+    class Pointwise(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return (nn.Dense(NCLASS)(x),)
+
+    model = Pointwise()
+    img = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    predict = make_predict_fn(model)
+    assert hasattr(predict, "raw")
+
+    direct = predict(variables, img)  # top-level use keeps the options
+    probs = multi_scale_predict(
+        predict, variables, img, NCLASS, scales=(1.0, 0.5), flip=True
+    )
+    assert probs.shape == (1, 32, 32, NCLASS)
+
+    cm = BucketedTTA(predict, NCLASS, scales=(1.0,), crop_size=None)(
+        variables,
+        np.asarray(img[0], np.float32),
+        np.zeros((32, 32), np.int32),
+        quant=32,
+    )
+    assert cm.shape == (NCLASS, NCLASS)
+    assert int(np.asarray(cm).sum()) == 32 * 32
+    np.testing.assert_allclose(
+        np.asarray(direct),
+        np.asarray(predict.raw(variables, img)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
