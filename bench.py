@@ -26,6 +26,9 @@ BENCH_BATCH, BENCH_INT8 in {off, pw, full} — default "pw" (mixed
 static-int8: bf16 depthwise + s8xs8 pointwise; +9% measured, argmax
 agreement >97% vs fp32 on synthetic parity, see BASELINE.md). "off"
 gives the parity-exact bf16 path; "full" is a measured regression.
+BENCH_FUSED_STEM in {0, 1, block1} — default follows
+cfg.TPU.FUSED_STEM ("block1": the fused stem+block1 Pallas entry
+chain, model-level A/B 84.0 vs 72.65 img/s, BASELINE.md round 3).
 """
 
 import functools
@@ -74,6 +77,10 @@ def main():
     if "BENCH_FUSED_STEM" in os.environ:
         v = os.environ["BENCH_FUSED_STEM"]
         cfg.TPU.FUSED_STEM = "block1" if v == "block1" else (v == "1")
+    if "BENCH_FUSED_ENTRY" in os.environ:
+        # e.g. BENCH_FUSED_ENTRY=block2 — run the named conv-skip entry
+        # blocks as v3 pallas chains (cfg.TPU.FUSED_ENTRY_V3 rationale)
+        cfg.TPU.FUSED_ENTRY_V3 = os.environ["BENCH_FUSED_ENTRY"]
     model = get_segmentation_model()
 
     h = int(os.environ.get("BENCH_H", 1024))

@@ -212,6 +212,15 @@ cfg.TPU.FUSED_SEPCONV_V3 = False  # in INT8_ACTIVATIONS="pw" mode, run
 #   sizes (measured, BASELINE.md) — so scattering single fused layers
 #   between XLA convs is a model-level REGRESSION (35 vs 55 img/s).
 #   Off until the entry flow runs as one unbroken pallas chain.
+cfg.TPU.FUSED_ENTRY_V3 = ""  # comma-separated XceptionBlock names
+#   (e.g. "block2") allowed to run the conv-skip v3 pallas chain in
+#   pw mode. Entry blocks measured net-slower in r2 (46.8 vs 54.1
+#   img/s) BEHIND AN XLA STEM; with FUSED_STEM="block1" the candidate
+#   block consumes a default-layout pallas output, so the
+#   pallas->pallas hop is free and fusing block2 moves the one
+#   pallas->XLA relayout from the 33 MB block1 output to the 16.8 MB
+#   block2 output. Experimental knob; default decided by model-level
+#   A/B (BASELINE.md round 3).
 cfg.TPU.FUSED_SEPCONV_MIN_BYTES = 80 * 1024 * 1024  # v3 gate: in+out
 #   bf16 traffic below this measured faster on the XLA path
 cfg.TPU.DW_SHIFT = True  # dilated depthwise convs (rate >= 12) as 9
@@ -222,10 +231,15 @@ cfg.TPU.SCOPED_VMEM_KIB = 0  # per-compile xla_tpu_scoped_vmem_limit_kib
 #   override (0 = backend default, 16 MB on v5e). FUSED_STEM="block1"
 #   implies 24576 when left at 0 — the fused entry kernel's stack is
 #   ~19.6 MB (utils/compileopts.py).
-cfg.TPU.FUSED_STEM = False  # conv1+conv2 of the Xception entry as ONE
-#   pallas kernel (ops/entrychain.py): 1.42 vs 1.84 ms standalone on
-#   v5e @1024x2048 (r3). Default from the model-level A/B in
-#   BASELINE.md round 3.
+cfg.TPU.FUSED_STEM = "block1"  # Xception entry chain as ONE pallas
+#   kernel (ops/entrychain.py). False = off; "stem" = conv1+conv2 only
+#   (standalone win 1.42 vs 1.84 ms but model-level REGRESSION 55.9 vs
+#   72.5 img/s — the pallas->XLA boundary at stride 2 costs more than
+#   the fusion saves); "block1" = stem + whole block1 (3 sepconvs +
+#   skip) to stride 4: standalone 2.39 vs 6.72 ms AND model-level
+#   72.65 -> 84.01 img/s on v5e @1024x2048 (BASELINE.md round 3) —
+#   the default. Eval-only; gated to supported geometry/backends in
+#   backbones/xception.py::_fused_stem_mode.
 cfg.TPU.STEM_WBLOCK = True  # W-blocked stem conv (ops/stem.py): exact
 #   reformulation of the C_in<=4 image conv that feeds the MXU B*C
 #   contraction lanes via FREE NHWC reshapes. 3.0x on the Xception

@@ -56,8 +56,11 @@ class XceptionBlock(nn.Module):
 
         if train or self.is_initializing():
             return False
-        if cfg.TPU.INT8_ACTIVATIONS != "pw" or not bool(
-            cfg.TPU.FUSED_SEPCONV_V3
+        entry_v3 = self.name in [
+            s for s in str(cfg.TPU.FUSED_ENTRY_V3).split(",") if s
+        ]
+        if cfg.TPU.INT8_ACTIVATIONS != "pw" or not (
+            bool(cfg.TPU.FUSED_SEPCONV_V3) or entry_v3
         ):
             return False
         if bool(cfg.TPU.INT8_CALIBRATE):
@@ -75,15 +78,20 @@ class XceptionBlock(nn.Module):
         # copies at every chain edge and XLA's in-context conv fusion
         # is stronger at those shapes. Kernel support for 'conv'/stride
         # is kept (tested) for future stem-in-pallas work.
-        if self.skip_type != "sum" or self.stride != 1:
+        if entry_v3:
+            # explicit opt-in for a conv-skip entry block (see the
+            # cfg.TPU.FUSED_ENTRY_V3 rationale) — no MIN_BYTES gate
+            if self.skip_type != "conv":
+                return False
+        elif self.skip_type != "sum" or self.stride != 1:
             return False
-        if x.shape[-1] != self.channels[-1]:
+        elif x.shape[-1] != self.channels[-1]:
             return False
         n, h, w, c = x.shape
         t_in = 2 * self.stride * self.dilation  # smallest viable tile
         if h % t_in or w % self.stride or h < 2 * t_in:
             return False
-        if (
+        if not entry_v3 and (
             h * w * (c + self.channels[0]) * 2
             < int(cfg.TPU.FUSED_SEPCONV_MIN_BYTES)
         ):

@@ -131,3 +131,37 @@ def test_fused_stem_block1_matches_xla(h, w, strip):
     )
     assert got.shape == want.shape == (1, h // 4, w // 4, 128)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_xception_entry_v3_block2_parity(fresh_cfg, monkeypatch):
+    """TPU.FUSED_ENTRY_V3="block2" routes the conv-skip entry block2
+    through the v3 pallas chain behind the fused stem+block1 kernel
+    (pallas->pallas boundary) with the SAME parameter tree — backbone
+    outputs must match the regular pw-mode path. int8 requant order
+    differs slightly between in-register and materialized paths, so
+    the bar is relative like test_xception_block_fused_chain_parity."""
+    import jax
+
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    monkeypatch.setenv("SEGMENTRON_PALLAS_INTERPRET", "1")
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 16
+    fresh_cfg.MODEL.XCEPTION.MIDDLE_BLOCKS = 1
+    fresh_cfg.TPU.FUSED_STEM = "block1"
+    fresh_cfg.TPU.INT8_ACTIVATIONS = "pw"
+    bb = get_segmentation_backbone("xception65", NormConfig())
+    x = jnp.asarray(
+        np.random.RandomState(3).randn(1, 96, 64, 3), jnp.float32
+    )
+    variables = bb.init(jax.random.PRNGKey(0), x)
+
+    fresh_cfg.TPU.FUSED_ENTRY_V3 = ""
+    ref = bb.apply(variables, x, False)
+    fresh_cfg.TPU.FUSED_ENTRY_V3 = "block2"
+    got = bb.apply(variables, x, False)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        g, r = np.asarray(g, np.float32), np.asarray(r, np.float32)
+        assert g.shape == r.shape
+        rel = float(np.abs(g - r).max() / (np.abs(r).max() + 1e-9))
+        assert rel < 0.06, f"c{i + 1}: rel={rel}"
