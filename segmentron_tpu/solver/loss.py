@@ -39,13 +39,30 @@ def _flatten(logits, target):
     return logits.reshape(-1, c), target.reshape(-1)
 
 
+def _select_class(values, idx):
+    """``values[n, idx[n]]`` for (N, C) values, (N,) int idx — WITHOUT
+    a gather.
+
+    ``jnp.take_along_axis`` lowers to an N-row gather whose VJP is an
+    N-row scatter; at flagship training shapes (N = 4.7M pixels) the
+    gather+scatter pair measured ~76 ms of a 112 ms forward — 2/3 of
+    the whole train-step forward (BASELINE.md round 3, "train-step
+    roofline"). A lane-iota compare + select + reduce over the class
+    lanes is pure VPU work that XLA fuses straight into the producing
+    log_softmax chain, and its transpose is the same select — no
+    scatter anywhere."""
+    c = values.shape[-1]
+    onehot = idx[:, None] == jax.lax.broadcasted_iota(idx.dtype, (1, c), 1)
+    return jnp.sum(jnp.where(onehot, values, 0.0), axis=-1)
+
+
 def cross_entropy(logits, target, weights=None):
     """Mean CE over valid (target >= 0) pixels."""
     lf, tf = _flatten(logits, target)
     valid = tf >= 0
     t_safe = jnp.where(valid, tf, 0)
     logp = jax.nn.log_softmax(lf.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+    nll = -_select_class(logp, t_safe)
     if weights is not None:
         nll = nll * weights.reshape(-1)
     nll = jnp.where(valid, nll, 0.0)
@@ -66,7 +83,7 @@ def _ohem_single(logits, target, thresh: float, min_kept: int):
     valid = tf >= 0
     t_safe = jnp.where(valid, tf, 0)
     logp = jax.nn.log_softmax(lf.astype(jnp.float32), axis=-1)
-    p_t = jnp.exp(jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0])
+    p_t = jnp.exp(_select_class(logp, t_safe))
     p_t = jnp.where(valid, p_t, jnp.inf)  # ignore pixels are never "hard"
     # adaptive threshold: if fewer than min_kept pixels fall below
     # `thresh`, raise the cutoff to the min_kept-th smallest prob.
@@ -77,7 +94,7 @@ def _ohem_single(logits, target, thresh: float, min_kept: int):
     else:
         cutoff = jnp.asarray(thresh)
     keep = valid & (p_t <= cutoff)
-    nll = -jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+    nll = -_select_class(logp, t_safe)
     nll = jnp.where(keep, nll, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(keep), 1)
 
@@ -118,7 +135,7 @@ def focal_loss(outputs: Sequence, target, alpha: float = 0.25, gamma: float = 2.
         valid = tf >= 0
         t_safe = jnp.where(valid, tf, 0)
         logp = jax.nn.log_softmax(lf.astype(jnp.float32), axis=-1)
-        logp_t = jnp.take_along_axis(logp, t_safe[:, None], axis=-1)[:, 0]
+        logp_t = _select_class(logp, t_safe)
         p_t = jnp.exp(logp_t)
         fl = -alpha * jnp.power(1.0 - p_t, gamma) * logp_t
         fl = jnp.where(valid, fl, 0.0)
