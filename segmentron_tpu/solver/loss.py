@@ -209,16 +209,16 @@ def dice_loss(outputs: Sequence, target, smooth: float = 1.0, aux_weight: float 
 
 def encnet_se_loss(se_pred, target, nclass: int):
     """Semantic-encoding loss: BCE on per-image class presence."""
+    # per-image class presence WITHOUT a pixel scatter (the scatter-add
+    # histogram is the same TPU pathology as the CE gather — see
+    # _select_class): compare every pixel label against the class iota
+    # and max-reduce over pixels, all fused VPU work.
     n = target.shape[0]
-    onehot_present = jax.vmap(
-        lambda t: jnp.clip(
-            jnp.zeros((nclass,)).at[jnp.where(t >= 0, t, 0).reshape(-1)].add(
-                (t >= 0).reshape(-1).astype(jnp.float32)
-            ),
-            0.0,
-            1.0,
-        )
-    )(target)
+    tf = target.reshape(n, -1)
+    present = (tf[:, :, None] == jnp.arange(nclass)[None, None, :]) & (
+        tf[:, :, None] >= 0
+    )
+    onehot_present = jnp.max(present.astype(jnp.float32), axis=1)
     logp = jax.nn.log_sigmoid(se_pred.astype(jnp.float32))
     log1mp = jax.nn.log_sigmoid(-se_pred.astype(jnp.float32))
     bce = -(onehot_present * logp + (1 - onehot_present) * log1mp)

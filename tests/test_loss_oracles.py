@@ -154,3 +154,25 @@ def test_focal_matches_oracle(rng):
                            alpha=0.25, gamma=2.0))
     want = _focal_np(logits, target, 0.25, 2.0)
     assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_encnet_se_presence_matches_histogram(rng):
+    """The SE-loss class-presence vector is now a compare+max-reduce
+    (no pixel scatter — same TPU pathology as the CE gather); it must
+    equal the histogram-based definition, ignore pixels excluded."""
+    from segmentron_tpu.solver.loss import encnet_se_loss
+
+    n, c = 3, 6
+    target = rng.randint(-1, c, size=(n, 10, 10))
+    se_pred = rng.randn(n, c).astype(np.float32)
+
+    present = np.zeros((n, c), np.float32)
+    for i in range(n):
+        for cls in range(c):
+            present[i, cls] = float((target[i] == cls).any())
+    logp = -np.log1p(np.exp(-se_pred))
+    log1mp = -np.log1p(np.exp(se_pred))
+    want = float(np.mean(-(present * logp + (1 - present) * log1mp)))
+
+    got = float(encnet_se_loss(jnp.asarray(se_pred), jnp.asarray(target), c))
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
