@@ -227,6 +227,13 @@ cfg.TPU.DW_SHIFT = True  # dilated depthwise convs (rate >= 12) as 9
 #   shifted-slice MACs (ops/dwconv.py): XLA's dilated-dw lowering
 #   degrades with rate (d=6 0.49 / d=12 0.81 / d=18 1.18 ms at ASPP
 #   geometry) while the shift form stays flat (~0.67). Exact.
+cfg.TPU.DW_BWD_SHIFT = False  # hybrid depthwise for 3x3 stride-1:
+#   keep the XLA conv FORWARD (fastest at small dilation — the
+#   all-shift train variant measured 125 -> 253 ms/step) but compute
+#   the BACKWARD as shift MACs (dx = flipped-kernel correlation, dk =
+#   9 shifted multiply-reduces) via a custom VJP
+#   (ops/dwconv.py::depthwise3x3_shiftbwd). Default from the train
+#   A/B in BASELINE.md round 3.
 cfg.TPU.SCOPED_VMEM_KIB = 0  # per-compile xla_tpu_scoped_vmem_limit_kib
 #   override (0 = backend default, 16 MB on v5e). FUSED_STEM="block1"
 #   implies 24576 when left at 0 — the fused entry kernel's stack is

@@ -278,6 +278,19 @@ class SeparableConv2d(nn.Module):
             _pair(self.kernel_size), _pair(self.stride), _pair(self.dilation)
         )
 
+    def _dw_bwd_shift(self) -> bool:
+        """Hybrid depthwise routing: XLA conv forward + shift-MAC
+        custom VJP (ops/dwconv.py::depthwise3x3_shiftbwd). Gated to the
+        3x3 stride-1 square-dilation geometry the op implements."""
+        from ..config import cfg
+
+        return (
+            bool(cfg.TPU.DW_BWD_SHIFT)
+            and _pair(self.kernel_size) == (3, 3)
+            and _pair(self.stride) == (1, 1)
+            and _pair(self.dilation)[0] == _pair(self.dilation)[1]
+        )
+
     def _int8_pw_mode(self, train: bool) -> bool:
         """Mixed precision-of-storage mode ("pw"): depthwise stays bf16
         (its int8 lowering measured slower on v5e), but the dw->pw hop
@@ -330,6 +343,15 @@ class SeparableConv2d(nn.Module):
             kk = _pair(self.kernel_size)
             dw_k = _SharedKernel((kk[0], kk[1], 1, in_ch), name="depthwise")()
             x = depthwise_shift3x3(
+                x, dw_k.astype(x.dtype), _pair(self.dilation)[0]
+            )
+        elif self._dw_bwd_shift():
+            # XLA conv forward + shift-MAC custom VJP (training probe,
+            # cfg.TPU.DW_BWD_SHIFT rationale in config/settings.py)
+            from ..ops.dwconv import depthwise3x3_shiftbwd
+
+            dw_k = _SharedKernel((3, 3, 1, in_ch), name="depthwise")()
+            x = depthwise3x3_shiftbwd(
                 x, dw_k.astype(x.dtype), _pair(self.dilation)[0]
             )
         else:

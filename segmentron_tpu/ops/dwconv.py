@@ -71,3 +71,70 @@ def depthwise_shift3x3(
             ) * kf[dy, dx, 0]
             acc = t if acc is None else acc + t
     return acc.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
+# --------------------------------------------------------------- hybrid VJP
+# Training probe (BASELINE.md round-3 "train-step roofline"): the
+# forward keeps XLA's depthwise conv lowering (measured fastest at
+# small dilation — the all-shift variant regressed 125 -> 253 ms/step),
+# while the BACKWARD is rewritten as shifted MACs: dx is the
+# kernel-flipped shift correlation and dk nine shifted multiply-
+# reduces — pure fused VPU work instead of XLA's grad convs.
+import functools as _functools
+
+from jax import lax as _lax
+
+
+def _dw_conv_fwd(x, kernel, d):
+    c = x.shape[-1]
+    return _lax.conv_general_dilated(
+        x, kernel, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def depthwise3x3_shiftbwd(x, kernel, dilation: int = 1):
+    """Depthwise 3x3, stride 1, 'same' padding, dilation ``d``:
+    XLA conv forward + shift-MAC backward (see above)."""
+    return _dw_conv_fwd(x, kernel, dilation)
+
+
+def _dw_shiftbwd_fwd(x, kernel, d):
+    return _dw_conv_fwd(x, kernel, d), (x, kernel)
+
+
+def _dw_shiftbwd_bwd(d, res, g):
+    x, kernel = res
+    n, h, w, c = x.shape
+    kf = kernel.astype(jnp.float32)
+    gp = jnp.pad(g, ((0, 0), (d, d), (d, d), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    dx = None
+    dk = []
+    for dy in range(3):
+        row = []
+        for dxi in range(3):
+            # dx: correlation of g with the spatially flipped kernel
+            t = gp[
+                :, (2 - dy) * d : (2 - dy) * d + h,
+                (2 - dxi) * d : (2 - dxi) * d + w, :,
+            ].astype(jnp.float32) * kf[dy, dxi, 0]
+            dx = t if dx is None else dx + t
+            # dk[tap] = <x shifted by tap, g>
+            row.append(
+                jnp.sum(
+                    xp[
+                        :, dy * d : dy * d + h, dxi * d : dxi * d + w, :
+                    ].astype(jnp.float32)
+                    * g.astype(jnp.float32),
+                    axis=(0, 1, 2),
+                )
+            )
+        dk.append(jnp.stack(row))
+    dk = jnp.stack(dk)[:, :, None, :]  # (3, 3, 1, C)
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+depthwise3x3_shiftbwd.defvjp(_dw_shiftbwd_fwd, _dw_shiftbwd_bwd)

@@ -66,3 +66,46 @@ def test_sepconv_dw_shift_matches_conv(int8):
         rtol=0.1, atol=0.15
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
+
+
+def test_dw_bwd_shift_routing_parity(fresh_cfg):
+    """TPU.DW_BWD_SHIFT routes 3x3 stride-1 SeparableConv2d depthwise
+    through the hybrid custom-VJP op with the SAME parameter tree —
+    identical forward, autodiff-matching gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from segmentron_tpu.modules.basic import SeparableConv2d
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 8), jnp.float32)
+    m = SeparableConv2d(12, 3, stride=1, dilation=2, norm=NormConfig())
+
+    fresh_cfg.TPU.DW_BWD_SHIFT = False
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, train):
+        out, _ = m.apply(v, x, train, mutable=["batch_stats"])
+        return jnp.sum(out**2)
+
+    ref = loss(variables, True)
+    g_ref = jax.grad(lambda p: loss({**variables, "params": p}, True))(
+        variables["params"]
+    )
+    fresh_cfg.TPU.DW_BWD_SHIFT = True
+    got = loss(variables, True)
+    g_got = jax.grad(lambda p: loss({**variables, "params": p}, True))(
+        variables["params"]
+    )
+    np.testing.assert_allclose(float(ref), float(got), rtol=1e-5)
+    ra = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(g_ref)}
+    rb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(g_got)}
+    assert set(ra) == set(rb)
+    for k in ra:
+        np.testing.assert_allclose(
+            np.asarray(ra[k]), np.asarray(rb[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k,
+        )
