@@ -60,9 +60,119 @@ def log(msg):
 T0 = time.time()
 
 
+def bench_train():
+    """BENCH_MODE=train: the PRODUCTION train step (make_train_step —
+    criterion/optimizer/schedule exactly as the Trainer wires them) on
+    768² crops, batch 8, timed as an in-jit fori_loop over the step's
+    raw per-shard body (per-call dispatch through the relay is ~10 ms —
+    8% of a step — so the loop must live inside one program)."""
+    import functools
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from segmentron_tpu.config import cfg
+    from segmentron_tpu.engine.steps import TrainState, make_train_step
+    from segmentron_tpu.models import get_segmentation_model
+    from segmentron_tpu.solver import (
+        get_lr_scheduler,
+        get_optimizer,
+        get_segmentation_loss,
+    )
+    from segmentron_tpu.utils.compileopts import tpu_compiler_options
+
+    cfg.defrost()
+    cfg.DATASET.NAME = "cityscapes"
+    cfg.MODEL.MODEL_NAME = "DeepLabV3_Plus"
+    cfg.MODEL.BACKBONE = "xception65"
+    cfg.MODEL.OUTPUT_STRIDE = int(os.environ.get("BENCH_OS", 16))
+    cfg.SOLVER.AUX = False
+    cfg.TRAIN.SYNC_BATCH_NORM = True
+    model = get_segmentation_model()
+    criterion = get_segmentation_loss(
+        cfg.MODEL.MODEL_NAME,
+        use_ohem=cfg.SOLVER.OHEM,
+        aux=cfg.SOLVER.AUX,
+        aux_weight=cfg.SOLVER.AUX_WEIGHT,
+        loss_name=cfg.SOLVER.LOSS_NAME,
+    )
+
+    crop = int(os.environ.get("BENCH_TRAIN_CROP", 768))
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    on_tpu = jax.default_backend() != "cpu"
+    half = jnp.bfloat16 if on_tpu else jnp.float32
+
+    log("initializing train state on CPU")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+        )
+        tx = get_optimizer(cfg, variables["params"], get_lr_scheduler(cfg, 100))
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            rng=jax.random.PRNGKey(1),
+        )
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    images = jax.device_put(
+        jnp.full((batch, crop, crop, 3), 0.1, jnp.float32), dev
+    )
+    masks = jax.device_put(jnp.zeros((batch, crop, crop), jnp.int32), dev)
+    log(f"train state on {dev}, crops {images.shape}")
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    step = make_train_step(
+        model, criterion, tx, mesh, compute_dtype=half,
+        remat=str(cfg.TPU.REMAT),
+    )
+    raw = step.raw  # per-shard body; loop lives inside ONE program
+
+    def run(state, images, masks, n):
+        def body(i, carry):
+            st, _ = carry
+            return raw(st, images, masks)
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))[1]
+
+    timed = jax.jit(
+        jax.shard_map(
+            run, mesh=mesh, in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=P(), check_vma=False,
+        ),
+        compiler_options=tpu_compiler_options(),
+    )
+
+    iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 1))
+    log("compiling train loop (remote compile may take many minutes)")
+    l0 = float(np.asarray(timed(state, images, masks, 1)))
+    assert np.isfinite(l0), l0
+    log(f"compiled (warm loss {l0:.4f}); timing")
+    t0 = time.perf_counter()
+    l1 = float(np.asarray(timed(state, images, masks, iters)))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(l1), l1
+    ips = iters * batch / dt
+    log(f"{iters} steps in {dt:.3f}s")
+    print(
+        json.dumps(
+            {
+                "metric": f"cityscapes_{crop}_deeplabv3plus_xception65_train",
+                "value": round(float(ips), 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(float(ips) / NOMINAL_BASELINE_IPS, 4),
+            }
+        )
+    )
+
+
 def main():
     from segmentron_tpu.config import cfg
     from segmentron_tpu.models import get_segmentation_model
+
+    if os.environ.get("BENCH_MODE", "infer") == "train":
+        return bench_train()
 
     cfg.defrost()
     cfg.DATASET.NAME = "cityscapes"

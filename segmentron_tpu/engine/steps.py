@@ -146,8 +146,13 @@ def make_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else (),
-                   compiler_options=tpu_compiler_options())
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else (),
+                     compiler_options=tpu_compiler_options())
+    # raw per-shard body for callers that build their own program
+    # around it (bench.py's in-jit training loop — the relay's ~10 ms
+    # dispatch latency would otherwise pollute per-step timing)
+    jitted.raw = step_fn
+    return jitted
 
 
 def make_eval_step(
