@@ -23,7 +23,12 @@
 #include <cstring>
 #include <vector>
 
-#if defined(__has_include)
+// SEGTRON_NO_JPEG is set by the no-libjpeg fallback build
+// (data/_native.py): jpeglib.h can be present without a LINKABLE
+// libjpeg.so, and compiling the jpeg code then yields a .so with
+// undefined jpeg_* symbols that fails dlopen — silently killing the
+// whole native path, not just decode.
+#if !defined(SEGTRON_NO_JPEG) && defined(__has_include)
 #if __has_include(<jpeglib.h>)
 #define SEGTRON_HAVE_JPEG 1
 #include <jpeglib.h>

@@ -138,7 +138,9 @@ class SegmentronConfig(dict):
             parsed = yaml.safe_load(io.StringIO(value))
             if isinstance(current, float) and isinstance(parsed, int):
                 parsed = float(parsed)
-            if current in ("pw", "full") and isinstance(parsed, str):
+            if current in ("pw", "full", "stem", "block1") and isinstance(
+                parsed, str
+            ):
                 # tri-state knob already holding a mode string: keep the
                 # same off-spellings working in either order
                 if parsed.lower() in ("false", "0", "no", "none"):

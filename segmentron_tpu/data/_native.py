@@ -64,11 +64,16 @@ def _build() -> Optional[str]:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so
     except Exception:
-        # no libjpeg on this system: build without it (the decode entry
-        # points compile to stubs returning -1 -> PIL fallback)
+        # no LINKABLE libjpeg on this system: rebuild with the jpeg
+        # code compiled out entirely (-DSEGTRON_NO_JPEG — the header
+        # alone may still exist, and undefined jpeg_* symbols would
+        # make the .so fail dlopen and kill the non-jpeg kernels too).
+        # Decode entry points become stubs returning -1 -> PIL fallback.
         try:
-            subprocess.run(cmd[:-1], check=True, capture_output=True,
-                           timeout=120)
+            subprocess.run(
+                cmd[:-1] + ["-DSEGTRON_NO_JPEG"], check=True,
+                capture_output=True, timeout=120,
+            )
             return so
         except Exception:
             return None

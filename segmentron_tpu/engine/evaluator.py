@@ -55,7 +55,31 @@ class Evaluator:
             self.logger.info(
                 "Calibrating int8 ranges on %d val batches", n_cal
             )
-            batches = (b for _, b in zip(range(n_cal), iter(self.loader)))
+            # testval loaders yield NATIVE image sizes — feeding them
+            # straight to the jitted observe() would compile the full
+            # f32 model once per unique (H, W) (5-40 min each through
+            # the relay). Center-crop/pad every calibration image to
+            # ONE static shape: activation-range statistics don't need
+            # exact eval geometry, they need one compile.
+            side = int(cfg.TEST.CROP_SIZE or 512)
+
+            def _fixed(img):
+                img = np.asarray(img)
+                if img.ndim == 3:
+                    img = img[None]
+                _, h, w, c = img.shape
+                y0 = max((h - side) // 2, 0)
+                x0 = max((w - side) // 2, 0)
+                img = img[:, y0 : y0 + side, x0 : x0 + side]
+                ph, pw = side - img.shape[1], side - img.shape[2]
+                if ph or pw:
+                    img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                return img
+
+            batches = (
+                _fixed(b["image"] if isinstance(b, dict) else b)
+                for _, b in zip(range(n_cal), iter(self.loader))
+            )
             variables = calibrate_int8_amax(self.model, variables, batches)
         self.variables = variables
         n_dev = len(jax.devices())

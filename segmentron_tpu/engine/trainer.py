@@ -157,11 +157,15 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(cfg.TRAIN.MODEL_SAVE_DIR or "runs/checkpoints", "orbax")
         )
-        # best_miou persists in best_meta.json so resume keeps tracking
-        meta = self.ckpt.best_meta()
-        self.best_miou = float(meta["miou"]) if meta else 0.0
+        self.best_miou = 0.0
         self.start_epoch = 0
         if cfg.TRAIN.RESUME_MODEL_PATH or (args is not None and getattr(args, "resume", False)):
+            # best_miou persists in best_meta.json so RESUME keeps
+            # tracking; a fresh run in a reused save dir must NOT
+            # inherit a previous run's best (it would suppress
+            # save_best and leave --best pointing at stale params)
+            meta = self.ckpt.best_meta()
+            self.best_miou = float(meta["miou"]) if meta else 0.0
             self._resume()
 
     # ------------------------------------------------------------------

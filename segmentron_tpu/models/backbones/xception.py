@@ -57,7 +57,7 @@ class XceptionBlock(nn.Module):
         if train or self.is_initializing():
             return False
         entry_v3 = self.name in [
-            s for s in str(cfg.TPU.FUSED_ENTRY_V3).split(",") if s
+            s.strip() for s in str(cfg.TPU.FUSED_ENTRY_V3).split(",") if s.strip()
         ]
         if cfg.TPU.INT8_ACTIVATIONS != "pw" or not (
             bool(cfg.TPU.FUSED_SEPCONV_V3) or entry_v3
@@ -256,7 +256,10 @@ class Xception65(nn.Module):
         mode = cfg.TPU.FUSED_STEM
         if not mode:
             return ""
-        mode = "block1" if mode == "block1" else "stem"
+        if mode is True:
+            mode = "stem"
+        elif mode not in ("stem", "block1"):
+            return ""  # unknown spelling = off, never a silent "stem"
         if isinstance(x, QTensor):  # full-int8 mode quantizes the input
             return ""
         if self.norm.bn_type not in ("BN", "SyncBN", "FrozenBN"):

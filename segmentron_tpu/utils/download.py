@@ -142,7 +142,18 @@ def _convert_to_npz(backbone: str, pth_path: str) -> str:
         tree = convert_backbone_state(backbone, load_torch_state_dict(pth_path))
         save_flax_npz(tree, npz)
         return npz
-    except KeyError:
+    except (KeyError, ValueError) as e:
+        # no converter for this backbone (KeyError) OR the state_dict
+        # layout differs from the modeled naming (ValueError — the
+        # reference mount was empty, so official naming is unverified):
+        # fall back to the .pth and let load-time conversion try. Never
+        # crash startup or silently drop a verified file.
+        import logging
+
+        logging.getLogger("segmentron_tpu").warning(
+            "pretrained %s: cached conversion failed (%s); using %s",
+            backbone, e, pth_path,
+        )
         return pth_path
 
 
@@ -195,7 +206,9 @@ def resolve_pretrained(
                     f.write(chunk)
             if verify:
                 verify_weight_file(dst, backbone)
-            return _convert_to_npz(backbone, dst)
         except Exception:
-            return None
+            return None  # no egress / bad download: train from scratch
+        # conversion failures must NOT discard a verified download —
+        # _convert_to_npz falls back to the .pth itself (with a warning)
+        return _convert_to_npz(backbone, dst)
     return None

@@ -101,3 +101,22 @@ def test_trainer_best_fluctuating_val_and_resume(smoke_cfg):
     cfg.TRAIN.RESUME_MODEL_PATH = trainer.ckpt.directory
     trainer2 = Trainer()
     assert trainer2.best_miou == pytest.approx(0.60)
+
+
+def test_fresh_trainer_does_not_inherit_stale_best(smoke_cfg):
+    """A NEW run (no resume) in a reused MODEL_SAVE_DIR must start
+    best_miou at 0 — inheriting a previous run's best_meta would
+    suppress save_best and leave --best pointing at stale params."""
+    from segmentron_tpu.config import cfg
+    from segmentron_tpu.engine import Trainer
+
+    cfg.TRAIN.EPOCHS = 1
+    cfg.UTILS.EPOCH_STOP = -1
+    trainer = Trainer()
+    trainer.validate = lambda: (0.9, 0.55)
+    trainer.train()
+    assert trainer.ckpt.best_meta()["miou"] == pytest.approx(0.55)
+
+    cfg.TRAIN.RESUME_MODEL_PATH = ""
+    fresh = Trainer()  # same save dir, NOT resuming
+    assert fresh.best_miou == 0.0

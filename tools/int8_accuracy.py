@@ -73,27 +73,6 @@ def evaluate(variables, tag):
     }
 
 
-def agreement(variables_a, variables_b):
-    """Pixel argmax agreement between two model configurations on the
-    val images (single-scale whole-image forwards)."""
-    from segmentron_tpu.data import get_segmentation_dataset
-    from segmentron_tpu.engine.steps import make_predict_fn
-    from segmentron_tpu.models import get_segmentation_model
-
-    model = get_segmentation_model()
-    predict = make_predict_fn(model)
-    ds = get_segmentation_dataset("synthetic", split="val", mode="testval")
-    ds.length, ds.image_size = 8, (96, 96)
-    same = total = 0
-    for i in range(len(ds)):
-        img = np.asarray(ds[i][0])[None]
-        pa = np.argmax(np.asarray(predict(variables_a, img)), -1)
-        pb = np.argmax(np.asarray(predict(variables_b, img)), -1)
-        same += int((pa == pb).sum())
-        total += pa.size
-    return same / total
-
-
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     setup(epochs)
@@ -132,10 +111,6 @@ def main():
         trainer.model, dict(variables), cal_batches
     )
     results["int8_pw_calibrated"] = evaluate(calibrated, "int8-pw calibrated")
-
-    cfg.defrost()
-    cfg.TPU.INT8_ACTIVATIONS = "pw"
-    results["agreement_heuristic"] = agreement(variables, variables)
 
     f32_vars = variables
     cfg.TPU.INT8_ACTIVATIONS = "pw"
