@@ -138,12 +138,15 @@ class SegmentronConfig(dict):
             parsed = yaml.safe_load(io.StringIO(value))
             if isinstance(current, float) and isinstance(parsed, int):
                 parsed = float(parsed)
-            if current in ("pw", "full", "stem", "block1") and isinstance(
-                parsed, str
-            ):
+            if current in ("pw", "full", "stem", "block1"):
                 # tri-state knob already holding a mode string: keep the
-                # same off-spellings working in either order
-                if parsed.lower() in ("false", "0", "no", "none"):
+                # same off-spellings working in either order ("0" yaml-
+                # parses to int 0, bools to bool — normalize all to False)
+                if isinstance(parsed, str) and parsed.lower() in (
+                    "false", "0", "no", "none",
+                ):
+                    return False
+                if isinstance(parsed, (bool, int)) and not parsed:
                     return False
             return parsed
         return SegmentronConfig._wrap(value)

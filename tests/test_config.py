@@ -78,3 +78,17 @@ def test_tri_state_int8_knob_cli_coercion(fresh_cfg):
     assert fresh_cfg.TPU.INT8_ACTIVATIONS == "full"
     fresh_cfg.update_from_list(["TPU.INT8_ACTIVATIONS", "false"])
     assert fresh_cfg.TPU.INT8_ACTIVATIONS is False
+
+
+def test_fused_stem_off_spellings(fresh_cfg):
+    """TPU.FUSED_STEM defaults to the mode string "block1"; every CLI
+    off-spelling must coerce to False — "none" previously became the
+    truthy string "none", which silently enabled the regressive
+    stem-only fused mode (review finding, round 3)."""
+    assert fresh_cfg.TPU.FUSED_STEM == "block1"
+    for off in ("none", "false", "0", "no"):
+        fresh_cfg.update_from_list(["TPU.FUSED_STEM", "block1"])
+        fresh_cfg.update_from_list(["TPU.FUSED_STEM", off])
+        assert fresh_cfg.TPU.FUSED_STEM is False, off
+    fresh_cfg.update_from_list(["TPU.FUSED_STEM", "stem"])
+    assert fresh_cfg.TPU.FUSED_STEM == "stem"
