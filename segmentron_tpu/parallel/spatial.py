@@ -18,18 +18,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["spatial_sharding", "make_spatial_predict_fn"]
 
 
-def spatial_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
-    """NHWC images sharded along H over ``axis`` (batch replicated)."""
-    return NamedSharding(mesh, P(None, axis, None, None))
+def spatial_sharding(
+    mesh: Mesh, axis: str = "model", batch_axis: str | None = None
+) -> NamedSharding:
+    """NHWC images sharded along H over ``axis``; optionally the batch
+    over ``batch_axis`` too (2-D hybrid: dp x spatial on one mesh)."""
+    return NamedSharding(mesh, P(batch_axis, axis, None, None))
 
 
-def make_spatial_predict_fn(model, mesh: Mesh, axis: str = "model"):
+def make_spatial_predict_fn(
+    model, mesh: Mesh, axis: str = "model", batch_axis: str | None = None
+):
     """Jitted logits fn with the input height GSPMD-sharded over ``axis``.
 
     Params are replicated; the output logits come back with the same
-    spatial sharding (argmax/metrics can stay distributed).
+    spatial sharding (argmax/metrics can stay distributed). With
+    ``batch_axis`` set, images shard over BOTH mesh axes — batch over
+    ``batch_axis``, height over ``axis`` — so a (B, H, W, C) eval batch
+    on a (dp, sp) mesh keeps every chip busy while each image's
+    activation plane still fits: the dp analogue of DP + sequence
+    parallelism composed on one mesh (SURVEY.md §5.7).
     """
-    img_sharding = spatial_sharding(mesh, axis)
+    img_sharding = spatial_sharding(mesh, axis, batch_axis)
     rep = NamedSharding(mesh, P())
 
     @jax.jit
