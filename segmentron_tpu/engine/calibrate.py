@@ -51,6 +51,27 @@ def calibrate_int8_amax(model, variables, batches: Iterable) -> dict:
             images = jnp.asarray(images)
             if images.ndim == 3:
                 images = images[None]
+            if n == 0 and "quant_amax" not in variables:
+                # adding the collection key changes the pytree
+                # structure, which would RETRACE the jitted observe for
+                # batch 2 — a second multi-minute remote compile. Seed
+                # the structure with a CPU-jitted first pass (CPU
+                # compiles locally in ~a minute), so the accelerator
+                # program compiles exactly once, for batches 1..N.
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    col = jax.jit(
+                        lambda v, im: model.apply(
+                            v, im, False, mutable=["quant_amax"]
+                        )[1].get("quant_amax", {})
+                    )(variables, jax.device_put(images, cpu))
+                if col:
+                    variables["quant_amax"] = jax.tree.map(
+                        jnp.zeros_like, col
+                    )
+                else:  # no quant sites: skip the device loop entirely
+                    n = len(list(batches)) + 1
+                    break
             col = observe(variables, images)
             if col:
                 variables["quant_amax"] = col

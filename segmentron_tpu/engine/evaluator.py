@@ -98,13 +98,16 @@ class Evaluator:
             )
             if bool(cfg.TEST.DISTRIBUTED) and n_dev > 1:
                 self.mesh = create_mesh([n_dev], ("data",))
-        self._tta_steps = {}
+        self._tta_step = None
         self.metric = SegmentationMetric(self.nclass)
 
     def _load_variables(self):
         path = cfg.TEST.TEST_MODEL_PATH
         sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        template = self.model.init(jax.random.PRNGKey(0), sample)
+        # init on the host CPU backend: a chip init compile through the
+        # relay is minutes of dead time (CLAUDE.md)
+        with jax.default_device(jax.devices("cpu")[0]):
+            template = jax.jit(self.model.init)(jax.random.PRNGKey(0), sample)
         if not path:
             self.logger.warning(
                 "TEST.TEST_MODEL_PATH empty - evaluating randomly-initialised model"
@@ -140,10 +143,13 @@ class Evaluator:
         }
 
     def _tta_step_for(self, shape):
-        """One compiled sharded TTA program per image-shape bucket."""
-        if shape not in self._tta_steps:
+        """The sharded TTA program (shape-independent builder: its own
+        jit cache compiles one executable per input-shape bucket, so a
+        single instance serves every shape)."""
+        del shape
+        if self._tta_step is None:
             crop = cfg.TEST.CROP_SIZE
-            self._tta_steps[shape] = make_tta_eval_step(
+            self._tta_step = make_tta_eval_step(
                 self.model,
                 self.nclass,
                 self.mesh,
@@ -152,7 +158,7 @@ class Evaluator:
                 crop_size=int(crop) if crop else None,
                 compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
             )
-        return self._tta_steps[shape]
+        return self._tta_step
 
     def _eval_distributed(self):
         """Images round-robin over the data mesh, grouped by shape; the

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
+from .steps import _cast_floats
+
 __all__ = ["export_model", "load_exported"]
 
 _MLIR_FILE = "model.stablehlo"
@@ -57,9 +59,19 @@ def export_model(model, variables, input_shape, out_dir: str,
                  compute_dtype=jnp.float32) -> str:
     """Serialize ``model.apply`` (eval mode, main logits) + variables."""
     os.makedirs(out_dir, exist_ok=True)
+    mixed = jnp.dtype(compute_dtype) != jnp.float32
 
     def forward(variables, images):
-        return model.apply(variables, images, False)[0]
+        # mirror make_predict_fn's mixed-precision semantics: the
+        # served graph must cast params to the compute dtype (true-bf16
+        # MXU path) or the artifact computes f32 with bf16 inputs and
+        # diverges from what was benchmarked; logits stay f32
+        if mixed:
+            variables = dict(variables)
+            variables["params"] = _cast_floats(
+                variables["params"], jnp.dtype(compute_dtype)
+            )
+        return model.apply(variables, images, False)[0].astype(jnp.float32)
 
     x_spec = jax.ShapeDtypeStruct(tuple(input_shape), compute_dtype)
     var_specs = jax.tree.map(

@@ -44,11 +44,15 @@ class Trainer:
         )
         self.batch_sharding = batch_sharding(self.mesh)
         self.replicated = replicate_sharding(self.mesh)
-        if cfg.TRAIN.BATCH_SIZE % self.mesh.size != 0:
+        # the batch shards over the 'data' axis ONLY — on a multi-axis
+        # mesh (e.g. data x model hybrid) the other axes don't
+        # constrain it
+        self.data_par = int(self.mesh.shape["data"])
+        if cfg.TRAIN.BATCH_SIZE % self.data_par != 0:
             raise ValueError(
                 f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must be divisible "
-                f"by the device-mesh size ({self.mesh.size}) — the batch is "
-                "sharded over the 'data' axis"
+                f"by the 'data' mesh axis ({self.data_par}) — the batch is "
+                "sharded over it"
             )
 
         # ------------------------------------------------------- data
@@ -70,8 +74,8 @@ class Trainer:
             prefetch=cfg.TPU.PREFETCH,
             sharding=self.batch_sharding,
         )
-        # sharded eval: batch must divide evenly over the mesh
-        val_bs = -(-int(cfg.TEST.BATCH_SIZE) // self.mesh.size) * self.mesh.size
+        # sharded eval: batch must divide evenly over the data axis
+        val_bs = -(-int(cfg.TEST.BATCH_SIZE) // self.data_par) * self.data_par
         self.val_loader = DataLoader(
             self.val_dataset,
             batch_size=val_bs,
@@ -94,7 +98,10 @@ class Trainer:
         sample = jnp.zeros(
             (1, cfg.TRAIN.CROP_SIZE, cfg.TRAIN.CROP_SIZE, 3), jnp.float32
         )
-        variables = self.model.init(init_rng, sample)
+        # init on the host CPU backend: through the relay a chip init
+        # compile is minutes of dead time and a kill hazard (CLAUDE.md)
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = jax.jit(self.model.init)(init_rng, sample)
         if cfg.TRAIN.BACKBONE_PRETRAINED and cfg.MODEL.BACKBONE:
             from ..utils.download import resolve_pretrained
             from ..utils.torch_convert import load_backbone_pretrained
@@ -160,17 +167,28 @@ class Trainer:
         self.best_miou = 0.0
         self.start_epoch = 0
         if cfg.TRAIN.RESUME_MODEL_PATH or (args is not None and getattr(args, "resume", False)):
-            # best_miou persists in best_meta.json so RESUME keeps
-            # tracking; a fresh run in a reused save dir must NOT
-            # inherit a previous run's best (it would suppress
-            # save_best and leave --best pointing at stale params)
-            meta = self.ckpt.best_meta()
-            self.best_miou = float(meta["miou"]) if meta else 0.0
             self._resume()
 
     # ------------------------------------------------------------------
     def _resume(self) -> None:
-        restored = self.ckpt.restore_latest(jax.device_get(self.state))
+        # TRAIN.RESUME_MODEL_PATH may name a DIFFERENT run's orbax dir
+        # (the reference points it at an arbitrary checkpoint file) —
+        # restore from there, not from this run's save dir
+        src = self.ckpt
+        path = str(cfg.TRAIN.RESUME_MODEL_PATH or "")
+        if path and os.path.abspath(path) != os.path.abspath(src.directory):
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"TRAIN.RESUME_MODEL_PATH={path!r} not found"
+                )
+            src = CheckpointManager(path)
+        # best_miou persists in best_meta.json so RESUME keeps
+        # tracking; a fresh run in a reused save dir must NOT inherit a
+        # previous run's best (it would suppress save_best and leave
+        # --best pointing at stale params), hence reading it only here
+        meta = src.best_meta()
+        self.best_miou = float(meta["miou"]) if meta else 0.0
+        restored = src.restore_latest(jax.device_get(self.state))
         if restored is not None:
             self.state = jax.device_put(restored, self.replicated)
             step = int(jax.device_get(self.state.step))
@@ -192,6 +210,8 @@ class Trainer:
         last_log = start
         imgs_since_log = 0
         final_loss = float("nan")
+        loss = None
+        run_iter0 = self.start_epoch * self.iters_per_epoch  # for ETA
 
         # optional jax.profiler window (SURVEY §5.1): trace steps
         # [PROFILE_START, PROFILE_START + PROFILE_STEPS)
@@ -203,7 +223,12 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             for it, batch in enumerate(self.train_loader):
                 global_step = epoch * self.iters_per_epoch + it
-                if prof_n > 0 and global_step == prof_lo and not profiling:
+                # >= (not ==): a resume past PROFILE_START must still
+                # honor a requested window
+                if (
+                    prof_n > 0 and not profiling
+                    and prof_lo <= global_step < prof_lo + prof_n
+                ):
                     jax.profiler.start_trace(cfg.UTILS.PROFILE_DIR)
                     profiling = True
                 self.state, loss = self.train_step(
@@ -225,13 +250,25 @@ class Trainer:
                     ips = imgs_since_log / max(now - last_log, 1e-6)
                     last_log, imgs_since_log = now, 0
                     lr_v = float(self.lr_schedule(step))
-                    eta = (self.max_iters - step) * (now - start) / max(step, 1)
+                    # per-iter time from THIS run's steps only — after a
+                    # resume, dividing by the global step would estimate
+                    # a near-zero ETA
+                    eta = (self.max_iters - step) * (now - start) / max(
+                        step - run_iter0, 1
+                    )
                     self.logger.info(
                         "Epoch %d/%d iter %d/%d | loss %.4f | lr %.6f | "
                         "%.2f img/s (%.2f/chip) | ETA %dm",
                         epoch + 1, epochs, it + 1, self.iters_per_epoch,
                         loss_v, lr_v, ips, ips / n_devices, int(eta / 60),
                     )
+            if loss is None:
+                raise RuntimeError(
+                    "train loader yielded no batches — dataset smaller "
+                    "than TRAIN.BATCH_SIZE with drop_last? "
+                    f"(len(dataset)={len(self.train_dataset)}, "
+                    f"batch={cfg.TRAIN.BATCH_SIZE})"
+                )
             final_loss = float(jax.device_get(loss))
             if (epoch + 1) % cfg.TRAIN.SNAPSHOT_EPOCH == 0:
                 self.ckpt.save(
@@ -256,6 +293,14 @@ class Trainer:
                         "New best mIoU %.4f — saved to %s", miou,
                         self.ckpt.best_directory,
                     )
+        if profiling:
+            # window extended past the last step — close the trace
+            # instead of losing it at process exit
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+            self.logger.info(
+                "Profiler trace written to %s", cfg.UTILS.PROFILE_DIR
+            )
         self.ckpt.wait()
         return final_loss
 
