@@ -15,6 +15,8 @@
 // Built by segmentron_tpu/data/_native.py with g++ -O3 -fopenmp; all
 // entry points are plain C for ctypes.
 
+#include <dlfcn.h>
+
 #include <algorithm>
 #include <cmath>
 #include <csetjmp>
@@ -213,6 +215,94 @@ int jpeg_dims(const uint8_t* buf, int len, int* h, int* w) {
   return 0;
 }
 
+// Output dims for a num/8 DCT-scaled decode (num in 1..16); libjpeg
+// computes these as ceil(dim*num/8). Returns 0 and fills (h, w).
+int jpeg_scaled_dims(const uint8_t* buf, int len, int num, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jerr_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.scale_num = static_cast<unsigned>(num);
+  cinfo.scale_denom = 8;
+  jpeg_calc_output_dimensions(&cinfo);
+  *h = static_cast<int>(cinfo.output_height);
+  *w = static_cast<int>(cinfo.output_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode scanlines [row_lo, row_hi) of the num/8 DCT-scaled image into
+// out ((row_hi-row_lo) * scaled_w * 3 RGB). The scaled IDCT does
+// num²/64 of the full-res inverse-transform work, and rows before
+// row_lo are skipped without upsampling/color-converting them
+// (libjpeg-turbo jpeg_skip_scanlines when available; the loop below
+// falls back to decode-and-discard); rows after row_hi are never
+// decoded at all (jpeg_abort_decompress). Train crops at scale 2.0
+// read ~40% of the rows; the combination is the host-side decode
+// analogue of SURVEY §7's "input pipeline throughput" hard part.
+int decode_jpeg_rgb_scaled(const uint8_t* buf, int len, int num,
+                           int row_lo, int row_hi, uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  JErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jerr_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = static_cast<unsigned>(num);
+  cinfo.scale_denom = 8;
+  jpeg_start_decompress(&cinfo);
+  const int oh = static_cast<int>(cinfo.output_height);
+  if (row_lo < 0) row_lo = 0;
+  if (row_hi > oh) row_hi = oh;
+  const size_t stride = static_cast<size_t>(cinfo.output_width) * 3;
+  std::vector<uint8_t> scratch;
+  // libjpeg-turbo's true fast skip, resolved at runtime: linking the
+  // symbol directly would make dlopen of THIS .so fail against a
+  // plain-IJG libjpeg (turbo header + IJG lib), killing every native
+  // kernel, not just the skip. Falls back to decode-and-discard.
+  typedef JDIMENSION (*skip_fn)(j_decompress_ptr, JDIMENSION);
+  static skip_fn skip =
+      reinterpret_cast<skip_fn>(dlsym(RTLD_DEFAULT, "jpeg_skip_scanlines"));
+  while (static_cast<int>(cinfo.output_scanline) < row_lo) {
+    if (skip != nullptr) {
+      if (skip(&cinfo,
+               static_cast<JDIMENSION>(
+                   row_lo - static_cast<int>(cinfo.output_scanline))) == 0)
+        break;  // defensive: never loop forever on a non-advancing skip
+    } else {
+      if (scratch.empty()) scratch.resize(stride);
+      JSAMPROW row = scratch.data();
+      if (jpeg_read_scanlines(&cinfo, &row, 1) == 0) break;
+    }
+  }
+  while (static_cast<int>(cinfo.output_scanline) < row_hi) {
+    JSAMPROW row =
+        out +
+        (static_cast<size_t>(cinfo.output_scanline) - row_lo) * stride;
+    if (jpeg_read_scanlines(&cinfo, &row, 1) == 0) break;
+  }
+  if (static_cast<int>(cinfo.output_scanline) >= oh) {
+    jpeg_finish_decompress(&cinfo);
+  } else {
+    jpeg_abort_decompress(&cinfo);  // stop early: trailing rows unread
+  }
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Decode into out (h*w*3, RGB). Returns 0 on success.
 int decode_jpeg_rgb(const uint8_t* buf, int len, uint8_t* out) {
   jpeg_decompress_struct cinfo;
@@ -239,7 +329,11 @@ int decode_jpeg_rgb(const uint8_t* buf, int len, uint8_t* out) {
 }
 #else
 int jpeg_dims(const uint8_t*, int, int*, int*) { return -1; }
+int jpeg_scaled_dims(const uint8_t*, int, int, int*, int*) { return -1; }
 int decode_jpeg_rgb(const uint8_t*, int, uint8_t*) { return -1; }
+int decode_jpeg_rgb_scaled(const uint8_t*, int, int, int, int, uint8_t*) {
+  return -1;
+}
 #endif
 
 // ----------------------------------------------------- train augment
@@ -252,13 +346,21 @@ int decode_jpeg_rgb(const uint8_t*, int, uint8_t*) { return -1; }
 // runs on the normalized crop (blur commutes with the per-channel
 // affine normalize exactly). Random draws stay in Python so the
 // per-(seed, epoch, index) augmentation stream is loader-independent.
-void train_augment_u8(const uint8_t* src, int sh, int sw, int flip,
-                      int oh, int ow, int y1, int x1, int crop,
-                      float blur_sigma, const float* mean,
+//
+// Source-row windowing (DCT-scaled JPEG path): ``src`` holds only rows
+// [src_y0, src_y0+sh_buf) of a ``sh_full``-row image — resample
+// windows are built against sh_full, tap rows index the buffer at
+// (row - src_y0). Callers passing a whole image use src_y0=0,
+// sh_buf=sh_full. Tap rows are clamped into the buffer defensively
+// (an exact caller never trips the clamp; clamping degrades to edge
+// extension instead of reading out of bounds).
+void train_augment_u8(const uint8_t* src, int sh_buf, int sw, int src_y0,
+                      int sh_full, int flip, int oh, int ow, int y1, int x1,
+                      int crop, float blur_sigma, const float* mean,
                       const float* stdev, float* out) {
   std::vector<Window> wy, wx;
   std::vector<float> ww_y, ww_x;
-  build_windows(sh, oh, wy, ww_y);
+  build_windows(sh_full, oh, wy, ww_y);
   build_windows(sw, ow, wx, ww_x);
   const float inv255 = 1.0f / 255.0f;
   float inv_std[3], bias[3], padv[3];
@@ -273,10 +375,10 @@ void train_augment_u8(const uint8_t* src, int sh, int sw, int flip,
   const int xhi = std::min(ow, x1 + crop);
   const int cw = std::max(xhi - xlo, 0);
 
-  // horizontal pass: (sh, cw, 3) f32 — only the needed columns
-  std::vector<float> tmp(static_cast<size_t>(sh) * cw * 3);
+  // horizontal pass: (sh_buf, cw, 3) f32 — only the needed columns
+  std::vector<float> tmp(static_cast<size_t>(sh_buf) * cw * 3);
 #pragma omp parallel for schedule(static)
-  for (int y = 0; y < sh; ++y) {
+  for (int y = 0; y < sh_buf; ++y) {
     const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
     float* trow = tmp.data() + static_cast<size_t>(y) * cw * 3;
     for (int x = 0; x < cw; ++x) {
@@ -319,8 +421,10 @@ void train_augment_u8(const uint8_t* src, int sh, int sw, int flip,
       float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
       for (int t = 0; t < w.n; ++t) {
         const float c = ww_y[w.off + t];
+        const int yb =
+            std::min(sh_buf - 1, std::max(0, w.lo + t - src_y0));
         const float* p =
-            tmp.data() + (static_cast<size_t>(w.lo + t) * cw + j) * 3;
+            tmp.data() + (static_cast<size_t>(yb) * cw + j) * 3;
         acc0 += c * p[0];
         acc1 += c * p[1];
         acc2 += c * p[2];

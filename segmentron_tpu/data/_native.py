@@ -25,6 +25,8 @@ __all__ = [
     "remap_labels",
     "decode_jpeg",
     "open_rgb",
+    "LazyJpeg",
+    "resample_row_window",
     "train_augment",
 ]
 
@@ -108,11 +110,17 @@ def native_lib() -> Optional[ctypes.CDLL]:
         c_intp = ctypes.POINTER(ctypes.c_int)
         lib.jpeg_dims.argtypes = [u8p, c_int, c_intp, c_intp]
         lib.jpeg_dims.restype = c_int
+        lib.jpeg_scaled_dims.argtypes = [u8p, c_int, c_int, c_intp, c_intp]
+        lib.jpeg_scaled_dims.restype = c_int
         lib.decode_jpeg_rgb.argtypes = [u8p, c_int, u8p]
         lib.decode_jpeg_rgb.restype = c_int
+        lib.decode_jpeg_rgb_scaled.argtypes = [
+            u8p, c_int, c_int, c_int, c_int, u8p,
+        ]
+        lib.decode_jpeg_rgb_scaled.restype = c_int
         lib.train_augment_u8.argtypes = [
             u8p, c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_int,
-            ctypes.c_float, f32p, f32p, f32p,
+            c_int, c_int, ctypes.c_float, f32p, f32p, f32p,
         ]
         _LIB = lib
         return _LIB
@@ -171,20 +179,136 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
     return out
 
 
-def open_rgb(path: str):
+class LazyJpeg:
+    """An undecoded JPEG for the native train path.
+
+    The train augmentation draws its geometry (random scale, crop)
+    BEFORE any pixel is needed, so decoding eagerly at full resolution
+    wastes most of the IDCT work whenever the image is scaled down or
+    mostly cropped away. This wrapper exposes the header dims
+    immediately (so the rng-driven geometry is identical to the eager
+    path) and decodes on demand at the smallest libjpeg DCT scale
+    (num/8, num=1..8) whose output still covers the resample target,
+    restricted to the scanline window the crop actually reads
+    (``decode_jpeg_rgb_scaled``). Full-decode cost is O(HW); the
+    scaled window decode is O(HW·(num/8)²·rows_used/rows).
+    """
+
+    def __init__(self, data: bytes, h: int, w: int):
+        self.data = data
+        self.h = h
+        self.w = w
+
+    @property
+    def size(self):  # PIL convention: (width, height)
+        return (self.w, self.h)
+
+    def scaled_dims(self, num: int):
+        """Output dims of a num/8 decode — libjpeg's ceil(dim*num/8)."""
+        return (self.h * num + 7) // 8, (self.w * num + 7) // 8
+
+    def pick_scale(self, oh: int, ow: int) -> int:
+        """Smallest PROFITABLE num with scaled dims >= the (oh, ow)
+        resample target in BOTH axes (downscale stays antialiased: the
+        triangle filter always sees a source at least as large as the
+        target). Upscale targets get num=8 (full resolution).
+
+        num is restricted to {1,2,3,4,8}: measured on this host
+        (2048x1024 q90, libjpeg-turbo), scaled decode at 5/8..7/8 runs
+        the NON-SIMD reduced IDCT and is SLOWER than full decode
+        (32-46 ms vs 30), while 1..4 give a modest win (21-27 ms —
+        Huffman parsing dominates and no DCT scale removes it). The
+        scanline window is the bigger lever and applies at any num."""
+        for num in (1, 2, 3, 4):
+            sh, sw = self.scaled_dims(num)
+            if sh >= oh and sw >= ow:
+                return num
+        return 8
+
+    def decode_window(self, num: int, row_lo: int, row_hi: int):
+        """Rows [row_lo, row_hi) of the num/8-scaled image, u8 RGB,
+        or None on decode failure (caller falls back to PIL)."""
+        lib = native_lib()
+        if lib is None:
+            return None
+        sh, sw = self.scaled_dims(num)
+        row_lo = max(0, min(int(row_lo), sh))
+        row_hi = max(row_lo, min(int(row_hi), sh))
+        buf = np.frombuffer(self.data, np.uint8)
+        out = np.empty((row_hi - row_lo, sw, 3), np.uint8)
+        if lib.decode_jpeg_rgb_scaled(
+            buf, buf.size, num, row_lo, row_hi, out.reshape(-1)
+        ) != 0:
+            return None
+        return out
+
+    def to_pil(self):
+        """Full eager decode (native, then PIL fallback)."""
+        from PIL import Image
+
+        arr = decode_jpeg(self.data)
+        if arr is not None:
+            return Image.fromarray(arr)
+        import io
+
+        return Image.open(io.BytesIO(self.data)).convert("RGB")
+
+    # PIL duck-typing used by the non-native _sync_transform fallback
+    def convert(self, mode):
+        return self.to_pil().convert(mode)
+
+
+def resample_row_window(sh: int, oh: int, y_lo: int, y_hi: int):
+    """Source-row window [lo, hi) that a PIL-convention triangle
+    resample sh -> oh reads for output rows [y_lo, y_hi). Mirrors
+    build_windows() in native/segtron_host.cpp (support = max(scale,1),
+    taps in [floor(center-support), ceil(center+support)) clamped)."""
+    import math
+
+    if y_hi <= y_lo:
+        return 0, 0
+    scale = sh / oh
+    support = max(scale, 1.0)
+    lo = math.floor((y_lo + 0.5) * scale - support)
+    hi = math.ceil((y_hi - 0.5) * scale + support)
+    return max(0, lo), min(sh, hi)
+
+
+def open_rgb(path: str, lazy: bool = False):
     """Open an image as a PIL RGB image, decoding JPEGs natively
     (libjpeg, outside the GIL) when possible. Returns a PIL Image
-    either way so the transform pipeline is unchanged."""
+    either way so the transform pipeline is unchanged.
+
+    With ``lazy=True`` (the train path), JPEGs come back as a
+    ``LazyJpeg`` instead — header dims only, pixels decoded later at
+    the DCT scale / scanline window the augmentation actually needs.
+    Gate: env SEGMENTRON_SCALED_DECODE=0 restores eager decode."""
     from PIL import Image
 
     if path.lower().endswith((".jpg", ".jpeg")):
         try:
             with open(path, "rb") as f:
-                arr = decode_jpeg(f.read())
+                data = f.read()
         except OSError:
-            arr = None
-        if arr is not None:
-            return Image.fromarray(arr)
+            data = None
+        if data is not None:
+            if (
+                lazy
+                and native_lib() is not None
+                and os.environ.get("SEGMENTRON_SCALED_DECODE", "1") != "0"
+            ):
+                buf = np.frombuffer(data, np.uint8)
+                h = ctypes.c_int()
+                w = ctypes.c_int()
+                lib = native_lib()
+                if (
+                    lib.jpeg_dims(buf, buf.size, ctypes.byref(h), ctypes.byref(w))
+                    == 0
+                ):
+                    return LazyJpeg(data, h.value, w.value)
+            arr = decode_jpeg(data)
+            if arr is not None:
+                return Image.fromarray(arr)
     return Image.open(path).convert("RGB")
 
 
@@ -197,12 +321,19 @@ def train_augment(
     blur_sigma: float,
     mean: np.ndarray,
     std: np.ndarray,
+    src_y0: int = 0,
+    sh_full: Optional[int] = None,
 ) -> Optional[np.ndarray]:
     """Fused train augmentation (native/segtron_host.cpp::
     train_augment_u8): hflip + random-scale resize to ``out_hw`` + pad
     + crop ``crop`` at ``crop_yx`` + gaussian blur + normalize, one
     OpenMP pass. Returns f32 (crop, crop, 3), or None without the
-    native lib."""
+    native lib.
+
+    ``src`` may be a row window of a taller image (the DCT-scaled JPEG
+    path): it holds rows [src_y0, src_y0+src.shape[0]) of an
+    ``sh_full``-row source, and the vertical resample indexes it
+    relative to ``src_y0``."""
     lib = native_lib()
     if lib is None:
         return None
@@ -211,7 +342,9 @@ def train_augment(
     y1, x1 = crop_yx
     out = np.empty((crop, crop, 3), np.float32)
     lib.train_augment_u8(
-        src, src.shape[0], src.shape[1], int(flip), int(oh), int(ow),
+        src, src.shape[0], src.shape[1], int(src_y0),
+        int(sh_full if sh_full is not None else src.shape[0]),
+        int(flip), int(oh), int(ow),
         int(y1), int(x1), int(crop), float(blur_sigma),
         np.ascontiguousarray(mean, np.float32),
         np.ascontiguousarray(std, np.float32), out,

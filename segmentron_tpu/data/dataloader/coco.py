@@ -92,7 +92,10 @@ class COCOSegmentation(SegmentationDataset):
         meta = self.coco.loadImgs(img_id)[0]
         from .._native import open_rgb
 
-        img = open_rgb(os.path.join(self.img_dir, meta["file_name"]))
+        img = open_rgb(
+            os.path.join(self.img_dir, meta["file_name"]),
+            lazy=self.mode == "train",
+        )
         target = self.coco.loadAnns(self.coco.getAnnIds(imgIds=img_id))
         mask = Image.fromarray(
             self._gen_seg_mask(target, meta["height"], meta["width"])

@@ -54,7 +54,7 @@ class VOCAugSegmentation(SegmentationDataset):
     def __getitem__(self, index: int):
         from .._native import open_rgb
 
-        img = open_rgb(self.images[index])
+        img = open_rgb(self.images[index], lazy=self.mode == "train")
         mask = self._load_mat_mask(self.masks[index])
         img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

@@ -56,7 +56,7 @@ class VOCSegmentation(SegmentationDataset):
     def __getitem__(self, index: int):
         from .._native import open_rgb
 
-        img = open_rgb(self.images[index])
+        img = open_rgb(self.images[index], lazy=self.mode == "train")
         if self.mode == "test":
             return self.transform_pair(img, None)[0], None, os.path.basename(
                 self.images[index]

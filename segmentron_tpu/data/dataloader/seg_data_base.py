@@ -93,10 +93,12 @@ class SegmentationDataset:
         self, img: Image.Image, mask: Image.Image, rng=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         rng = rng if rng is not None else self._rng
-        from .._native import native_lib
+        from .._native import LazyJpeg, native_lib
 
         if native_lib() is not None:
             return self._sync_transform_native(img, mask, rng)
+        if isinstance(img, LazyJpeg):  # native lib raced away: decode fully
+            img = img.to_pil()
         crop_size = self.crop_size
         # random mirror
         if rng.random() < 0.5:
@@ -165,11 +167,40 @@ class SegmentationDataset:
         if rng.random() < 0.5:
             blur_sigma = rng.random()  # PIL radius == gaussian sigma
 
-        arr = np.asarray(img.convert("RGB"), np.uint8)
-        img_t = train_augment(
-            arr, flip, (oh, ow), (y1, x1), crop_size, blur_sigma,
-            self.mean, self.std,
-        )
+        img_t = None
+        from .._native import LazyJpeg, resample_row_window
+
+        if isinstance(img, LazyJpeg):
+            # DCT-scaled window decode: the rng stream above used only
+            # the header dims, so geometry is identical to the eager
+            # path; the pixels resample from the num/8-scaled decode
+            # restricted to the rows the crop reads (BASELINE.md "Host
+            # input pipeline"). Numerics: a DCT downscale is an exact
+            # low-pass in the 8x8 block basis — quality-equivalent for
+            # augmentation, not bit-equal to full-decode-then-resample.
+            num = img.pick_scale(oh, ow)
+            sh_s, sw_s = img.scaled_dims(num)
+            row_lo, row_hi = resample_row_window(
+                sh_s, oh, y1, min(y1 + crop_size, oh)
+            )
+            win = (
+                img.decode_window(num, row_lo, row_hi)
+                if row_hi > row_lo
+                else None
+            )
+            if win is not None:
+                img_t = train_augment(
+                    win, flip, (oh, ow), (y1, x1), crop_size, blur_sigma,
+                    self.mean, self.std, src_y0=row_lo, sh_full=sh_s,
+                )
+            if img_t is None:  # decode failure: eager full decode
+                img = img.to_pil()
+        if img_t is None:
+            arr = np.asarray(img.convert("RGB"), np.uint8)
+            img_t = train_augment(
+                arr, flip, (oh, ow), (y1, x1), crop_size, blur_sigma,
+                self.mean, self.std,
+            )
 
         # mask stays on the PIL ops (cheap at int32 sizes): PIL's
         # NEAREST has fixed-point tie behavior that no closed-form

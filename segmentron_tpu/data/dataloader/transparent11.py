@@ -53,7 +53,7 @@ class TransparentSegmentation(SegmentationDataset):
     def __getitem__(self, index: int):
         from .._native import open_rgb
 
-        img = open_rgb(self.images[index])
+        img = open_rgb(self.images[index], lazy=self.mode == "train")
         mask = Image.open(self.masks[index])
         img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

@@ -46,7 +46,13 @@ class JpegDirSegmentation(SegmentationDataset):
 
     def __getitem__(self, index):
         name = self.items[index]
-        img = Image.open(os.path.join(self.root, name)).convert("RGB")
+        from segmentron_tpu.data._native import open_rgb
+
+        # same decode route as the real datasets: native libjpeg, and
+        # in train mode the lazy DCT-scaled window decode
+        img = open_rgb(
+            os.path.join(self.root, name), lazy=self.mode == "train"
+        )
         mask = Image.open(
             os.path.join(self.root, name.replace("img", "mask").replace(".jpg", ".png"))
         )
