@@ -60,6 +60,30 @@ def log(msg):
 T0 = time.time()
 
 
+def wait_for_backend(max_wait_s=float(os.environ.get("BENCH_BACKEND_WAIT", 1800))):
+    """The axon relay occasionally refuses connections for up to ~1 h
+    (verify skill 'relay outage' note). A bench run that dies on
+    backend init scores the whole round zero, so retry with backoff
+    instead; a hung init (device blocked by an orphan remote compile)
+    is survived by simply waiting inside the first jax call."""
+    t0 = time.time()
+    while True:
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:
+            if time.time() - t0 > max_wait_s:
+                raise
+            log(f"backend unavailable ({type(e).__name__}: {e}); retry in 60s")
+            try:  # drop the cached init failure so the retry is real
+                jax.extend.backend.clear_backends()
+            except Exception:
+                try:
+                    jax._src.xla_bridge._clear_backends()
+                except Exception:
+                    pass
+            time.sleep(60)
+
+
 def bench_train():
     """BENCH_MODE=train: the PRODUCTION train step (make_train_step —
     criterion/optimizer/schedule exactly as the Trainer wires them) on
@@ -98,7 +122,7 @@ def bench_train():
 
     crop = int(os.environ.get("BENCH_TRAIN_CROP", 768))
     batch = int(os.environ.get("BENCH_BATCH", 8))
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = wait_for_backend() != "cpu"
     half = jnp.bfloat16 if on_tpu else jnp.float32
 
     log("initializing train state on CPU")
@@ -196,7 +220,7 @@ def main():
     h = int(os.environ.get("BENCH_H", 1024))
     w = int(os.environ.get("BENCH_W", 2048))
     batch = int(os.environ.get("BENCH_BATCH", 1))
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = wait_for_backend() != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     # Init on the host CPU backend: the only TPU compile should be the

@@ -201,6 +201,12 @@ cfg.TPU.INT8_CALIBRATION_BATCHES = 0  # >0: before an int8 eval, run
 #   per-channel |max| activations, and quantize with those measured
 #   ranges instead of the 6-sigma BN heuristic (the fallback VERDICT r2
 #   asked for if the heuristic costs mIoU). 0 = heuristic only.
+cfg.TPU.INT8_CALIBRATION_HEADROOM = 1.25  # multiplier on the measured
+#   ranges: N calibration batches under-sample the eval set's tails, so
+#   the raw max CLIPS outliers the 6-sigma heuristic covers (measured:
+#   raw-max calibration 0.0969 mIoU vs heuristic 0.1010, BASELINE.md
+#   int8 accuracy table). >1 trades a little resolution for headroom;
+#   1.0 = raw measured max.
 cfg.TPU.FUSED_SEPCONV_V3 = False  # in INT8_ACTIVATIONS="pw" mode, run
 #   large stride-1 sepconvs through the fused v3 Pallas kernel
 #   (ops/sepconv.py): halo rows fetched as overlapping BlockSpec

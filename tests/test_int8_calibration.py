@@ -31,6 +31,8 @@ def test_calibration_records_true_ranges(sep_model):
     from segmentron_tpu.engine.calibrate import calibrate_int8_amax
 
     model, variables, x = sep_model
+    cfg.defrost()
+    cfg.TPU.INT8_CALIBRATION_HEADROOM = 1.0  # assert RAW measured ranges
     calibrated = calibrate_int8_amax(model, variables, [x, x * 2.0])
     assert "quant_amax" in calibrated
     amax = np.asarray(calibrated["quant_amax"]["dw_bn_amax"])
@@ -79,6 +81,27 @@ def test_calibrated_int8_beats_bad_heuristic(sep_model):
     # calibrated error = int8 rounding; heuristic error = clipping of
     # everything beyond ~1/8 of the true range
     assert err_cal < 0.25 * err_heur, (err_cal, err_heur)
+
+
+def test_calibration_headroom_scales_ranges(sep_model):
+    """TPU.INT8_CALIBRATION_HEADROOM widens the measured ranges: N
+    calibration batches under-sample the eval tails, and the raw max
+    CLIPS outliers (measured −0.004 mIoU vs the heuristic, BASELINE.md
+    int8 accuracy table)."""
+    from segmentron_tpu.engine.calibrate import calibrate_int8_amax
+
+    model, variables, x = sep_model
+    cfg.defrost()
+    cfg.TPU.INT8_CALIBRATION_HEADROOM = 1.0
+    raw = calibrate_int8_amax(model, dict(variables), [x])
+    cfg.TPU.INT8_CALIBRATION_HEADROOM = 1.25
+    wide = calibrate_int8_amax(model, dict(variables), [x])
+    for k in raw["quant_amax"]:
+        np.testing.assert_allclose(
+            np.asarray(wide["quant_amax"][k]),
+            1.25 * np.asarray(raw["quant_amax"][k]),
+            rtol=1e-6,
+        )
 
 
 def test_calibration_restores_flag(sep_model):
