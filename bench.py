@@ -111,6 +111,9 @@ def bench_train():
     cfg.MODEL.OUTPUT_STRIDE = int(os.environ.get("BENCH_OS", 16))
     cfg.SOLVER.AUX = False
     cfg.TRAIN.SYNC_BATCH_NORM = True
+    # backend must be up BEFORE model construction: norm_from_cfg's
+    # single-replica SyncBN downgrade reads jax.device_count()
+    on_tpu = wait_for_backend() != "cpu"
     model = get_segmentation_model()
     criterion = get_segmentation_loss(
         cfg.MODEL.MODEL_NAME,
@@ -122,7 +125,6 @@ def bench_train():
 
     crop = int(os.environ.get("BENCH_TRAIN_CROP", 768))
     batch = int(os.environ.get("BENCH_BATCH", 8))
-    on_tpu = wait_for_backend() != "cpu"
     half = jnp.bfloat16 if on_tpu else jnp.float32
 
     log("initializing train state on CPU")
@@ -215,12 +217,13 @@ def main():
         # e.g. BENCH_FUSED_ENTRY=block2 — run the named conv-skip entry
         # blocks as v3 pallas chains (cfg.TPU.FUSED_ENTRY_V3 rationale)
         cfg.TPU.FUSED_ENTRY_V3 = os.environ["BENCH_FUSED_ENTRY"]
+    # backend must be up BEFORE model construction (see bench_train)
+    on_tpu = wait_for_backend() != "cpu"
     model = get_segmentation_model()
 
     h = int(os.environ.get("BENCH_H", 1024))
     w = int(os.environ.get("BENCH_W", 2048))
     batch = int(os.environ.get("BENCH_BATCH", 1))
-    on_tpu = wait_for_backend() != "cpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     # Init on the host CPU backend: the only TPU compile should be the

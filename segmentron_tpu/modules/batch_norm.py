@@ -114,6 +114,17 @@ def norm_from_cfg(cfg, encoder: bool = True) -> NormConfig:
     bn_type = cfg.MODEL.BN_TYPE
     if bn_type == "BN" and cfg.TRAIN.SYNC_BATCH_NORM:
         bn_type = "SyncBN"
+    if bn_type == "SyncBN":
+        from ..utils.distributed import data_axis_size
+
+        # Single-replica downgrade: pmean over a size-1 axis is the
+        # identity, but XLA still emits the collective (~4 ms/step on
+        # the v5e train config). Bit-exact: flax computes var the same
+        # way (E[x^2] - E[x]^2) with or without axis_name, and the
+        # stack/pmean/unstack is a value no-op at size 1. Also lets
+        # single-chip scripts apply the model outside shard_map.
+        if data_axis_size(cfg) == 1:
+            bn_type = "BN"
     return NormConfig(
         bn_type=bn_type,
         eps=float(eps) if eps is not None else _TORCH_BN_DEFAULT_EPS,

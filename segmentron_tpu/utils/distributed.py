@@ -26,7 +26,37 @@ __all__ = [
     "replicate_sharding",
     "shard_batch",
     "make_data_sampler",
+    "data_axis_size",
 ]
+
+
+def data_axis_size(cfg=None, axis: str = "data") -> int:
+    """Size the ``data`` mesh axis WOULD have under the current config.
+
+    Mirrors ``create_mesh``'s resolution rule: an explicit
+    ``cfg.TPU.MESH_SHAPE`` pins it; otherwise the default 1-D mesh puts
+    every device on the data axis. Used by trace-time gates that elide
+    single-replica collectives (SyncBN -> BN downgrade): a ``pmean``
+    over a size-1 axis is the identity, but XLA still emits the
+    collective (~4 ms/step measured on the train config, v5e 1 chip).
+    Only consult this where the model is guaranteed to run under a mesh
+    built from the same config.
+    """
+    if cfg is None:
+        from ..config import cfg as _cfg
+
+        cfg = _cfg
+    shape = list(cfg.TPU.MESH_SHAPE or [])
+    axes = tuple(cfg.TPU.MESH_AXES)
+    if shape and axis in axes[: len(shape)]:
+        return int(shape[list(axes).index(axis)])
+    try:
+        return jax.device_count()
+    except RuntimeError:
+        # backend not up (relay outage during model construction):
+        # report >1 so the caller keeps the multi-replica collectives —
+        # always-correct semantics, just without the size-1 elision
+        return 2
 
 
 def get_world_size() -> int:

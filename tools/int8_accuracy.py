@@ -26,7 +26,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This is a CPU-mesh tool (metric-level accuracy, not perf). Env
+# JAX_PLATFORMS does not stick here — sitecustomize imports jax at
+# interpreter startup — so force the platform in-process before first
+# backend use, exactly like tests/conftest.py.
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from segmentron_tpu.config import cfg
@@ -99,9 +111,14 @@ def main():
     cfg.TPU.INT8_ACTIVATIONS = "pw"
     results["int8_pw_heuristic"] = evaluate(variables, "int8-pw 6-sigma")
 
-    # measured-amax calibration over 8 val batches
+    # measured-amax calibration over 8 val batches. Collect the RAW
+    # ranges once (headroom 1.0), then sweep the headroom multiplier by
+    # scaling the collection — answers whether widening the measured
+    # ranges recovers the outlier-clipping deficit vs the 6-sigma
+    # heuristic (BASELINE.md int8-accuracy caveats).
     cfg.defrost()
     cfg.TPU.INT8_ACTIVATIONS = "pw"
+    cfg.TPU.INT8_CALIBRATION_HEADROOM = 1.0
     from segmentron_tpu.data import get_segmentation_dataset
 
     cal_ds = get_segmentation_dataset("synthetic", split="val", mode="testval")
@@ -111,6 +128,16 @@ def main():
         trainer.model, dict(variables), cal_batches
     )
     results["int8_pw_calibrated"] = evaluate(calibrated, "int8-pw calibrated")
+
+    raw_amax = calibrated["quant_amax"]
+    for headroom in (1.25, 1.5, 2.0):
+        widened = dict(calibrated)
+        widened["quant_amax"] = jax.tree.map(
+            lambda a: a * headroom, raw_amax
+        )
+        results[f"int8_pw_calibrated_h{headroom}"] = evaluate(
+            widened, f"int8-pw calibrated x{headroom}"
+        )
 
     f32_vars = variables
     cfg.TPU.INT8_ACTIVATIONS = "pw"
@@ -142,6 +169,11 @@ def main():
     d_heur = results["int8_pw_heuristic"]["miou"] - results["f32"]["miou"]
     d_cal = results["int8_pw_calibrated"]["miou"] - results["f32"]["miou"]
     print(f"\nmIoU delta: heuristic {d_heur:+.4f}, calibrated {d_cal:+.4f}")
+    for k in sorted(results):
+        if k.startswith("int8_pw_calibrated_h"):
+            d = results[k]["miou"] - results["f32"]["miou"]
+            print(f"mIoU delta: {k} {d:+.4f}")
+            results[f"miou_delta_{k[len('int8_pw_'):]}" ] = float(d)
     print(f"argmax agreement vs f32: heuristic "
           f"{results['agreement_heuristic']:.4%}, calibrated "
           f"{results['agreement_calibrated']:.4%}")
