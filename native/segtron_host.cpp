@@ -247,7 +247,41 @@ int jpeg_scaled_dims(const uint8_t* buf, int len, int num, int* h, int* w) {
 // decoded at all (jpeg_abort_decompress). Train crops at scale 2.0
 // read ~40% of the rows; the combination is the host-side decode
 // analogue of SURVEY §7's "input pipeline throughput" hard part.
+// libjpeg-turbo's true fast skip, resolved at runtime: linking the
+// symbol directly would make dlopen of THIS .so fail against a
+// plain-IJG libjpeg (turbo header + IJG lib), killing every native
+// kernel, not just the skip. RTLD_DEFAULT is wrong twice over: ctypes
+// loads this .so (and its libjpeg dependency) RTLD_LOCAL, so the
+// global scope never sees the symbol (dead fast path, measured), and
+// if some OTHER libjpeg were global the resolved function would not
+// match the library that created cinfo (ABI mismatch). Resolve from
+// the exact library that provides our jpeg_read_header instead.
+typedef JDIMENSION (*skip_fn)(j_decompress_ptr, JDIMENSION);
+
+static skip_fn resolve_skip_scanlines() {
+  Dl_info info;
+  if (dladdr(reinterpret_cast<void*>(&jpeg_read_header), &info) == 0 ||
+      info.dli_fname == nullptr)
+    return nullptr;
+  void* handle = dlopen(info.dli_fname, RTLD_LAZY | RTLD_NOLOAD);
+  if (handle == nullptr) return nullptr;
+  skip_fn fn = reinterpret_cast<skip_fn>(dlsym(handle, "jpeg_skip_scanlines"));
+  dlclose(handle);  // undo the RTLD_NOLOAD refcount bump; lib stays loaded
+  return fn;
+}
+
+// Diagnostic: 1 when the linked libjpeg provides the true fast skip
+// (libjpeg-turbo), 0 when the decode-and-discard fallback is in use.
+int jpeg_has_skip_scanlines() {
+  return resolve_skip_scanlines() != nullptr ? 1 : 0;
+}
+
+// Decode scanlines [row_lo, row_hi) at DCT scale num/8. exp_h/exp_w
+// are the caller's expected output dims — the buffer was sized from
+// them, so a libjpeg that rounds scale_num to a supported value
+// (classic jpeg6b: 1/2/4/8 only) must fail loudly, not overflow out.
 int decode_jpeg_rgb_scaled(const uint8_t* buf, int len, int num,
+                           int exp_h, int exp_w,
                            int row_lo, int row_hi, uint8_t* out) {
   jpeg_decompress_struct cinfo;
   JErr err;
@@ -265,17 +299,16 @@ int decode_jpeg_rgb_scaled(const uint8_t* buf, int len, int num,
   cinfo.scale_denom = 8;
   jpeg_start_decompress(&cinfo);
   const int oh = static_cast<int>(cinfo.output_height);
+  if (static_cast<int>(cinfo.output_width) != exp_w || oh != exp_h) {
+    jpeg_abort_decompress(&cinfo);  // caller's buffer has other dims
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
   if (row_lo < 0) row_lo = 0;
   if (row_hi > oh) row_hi = oh;
   const size_t stride = static_cast<size_t>(cinfo.output_width) * 3;
   std::vector<uint8_t> scratch;
-  // libjpeg-turbo's true fast skip, resolved at runtime: linking the
-  // symbol directly would make dlopen of THIS .so fail against a
-  // plain-IJG libjpeg (turbo header + IJG lib), killing every native
-  // kernel, not just the skip. Falls back to decode-and-discard.
-  typedef JDIMENSION (*skip_fn)(j_decompress_ptr, JDIMENSION);
-  static skip_fn skip =
-      reinterpret_cast<skip_fn>(dlsym(RTLD_DEFAULT, "jpeg_skip_scanlines"));
+  static skip_fn skip = resolve_skip_scanlines();
   while (static_cast<int>(cinfo.output_scanline) < row_lo) {
     if (skip != nullptr) {
       if (skip(&cinfo,
@@ -288,11 +321,23 @@ int decode_jpeg_rgb_scaled(const uint8_t* buf, int len, int num,
       if (jpeg_read_scanlines(&cinfo, &row, 1) == 0) break;
     }
   }
+  if (static_cast<int>(cinfo.output_scanline) != row_lo) {
+    // under- or over-skip: the write loop's (scanline - row_lo) offset
+    // arithmetic would be wrong (an under-skip even wraps the size_t)
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
   while (static_cast<int>(cinfo.output_scanline) < row_hi) {
     JSAMPROW row =
         out +
         (static_cast<size_t>(cinfo.output_scanline) - row_lo) * stride;
     if (jpeg_read_scanlines(&cinfo, &row, 1) == 0) break;
+  }
+  if (static_cast<int>(cinfo.output_scanline) != row_hi) {
+    jpeg_abort_decompress(&cinfo);  // truncated stream: out is partial
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
   }
   if (static_cast<int>(cinfo.output_scanline) >= oh) {
     jpeg_finish_decompress(&cinfo);
@@ -329,9 +374,11 @@ int decode_jpeg_rgb(const uint8_t* buf, int len, uint8_t* out) {
 }
 #else
 int jpeg_dims(const uint8_t*, int, int*, int*) { return -1; }
+int jpeg_has_skip_scanlines() { return 0; }
 int jpeg_scaled_dims(const uint8_t*, int, int, int*, int*) { return -1; }
 int decode_jpeg_rgb(const uint8_t*, int, uint8_t*) { return -1; }
-int decode_jpeg_rgb_scaled(const uint8_t*, int, int, int, int, uint8_t*) {
+int decode_jpeg_rgb_scaled(const uint8_t*, int, int, int, int, int, int,
+                           uint8_t*) {
   return -1;
 }
 #endif

@@ -115,7 +115,7 @@ def native_lib() -> Optional[ctypes.CDLL]:
         lib.decode_jpeg_rgb.argtypes = [u8p, c_int, u8p]
         lib.decode_jpeg_rgb.restype = c_int
         lib.decode_jpeg_rgb_scaled.argtypes = [
-            u8p, c_int, c_int, c_int, c_int, u8p,
+            u8p, c_int, c_int, c_int, c_int, c_int, c_int, u8p,
         ]
         lib.decode_jpeg_rgb_scaled.restype = c_int
         lib.train_augment_u8.argtypes = [
@@ -236,8 +236,12 @@ class LazyJpeg:
         row_hi = max(row_lo, min(int(row_hi), sh))
         buf = np.frombuffer(self.data, np.uint8)
         out = np.empty((row_hi - row_lo, sw, 3), np.uint8)
+        # (sh, sw) are passed down so the C side can verify libjpeg
+        # agreed on the scaled dims the buffer was allocated for — a
+        # libjpeg that rounds scale_num (classic 6b: 1/2/4/8 only)
+        # returns -1 here instead of overflowing `out`
         if lib.decode_jpeg_rgb_scaled(
-            buf, buf.size, num, row_lo, row_hi, out.reshape(-1)
+            buf, buf.size, num, sh, sw, row_lo, row_hi, out.reshape(-1)
         ) != 0:
             return None
         return out

@@ -45,6 +45,16 @@ def calibrate_int8_amax(model, variables, batches: Iterable) -> dict:
             return col.get("quant_amax", {})
 
         variables = dict(variables)
+        if "quant_amax" in variables:
+            # calibration must be idempotent: observe_amax's running
+            # max seeds from the passed-in collection, so stale (and
+            # headroom-widened) ranges would dominate fresh
+            # measurements and the tail multiplier would compound
+            # (1.25^k over k calibrations). Start every calibration
+            # from zeros.
+            variables["quant_amax"] = jax.tree.map(
+                jnp.zeros_like, variables["quant_amax"]
+            )
         n = 0
         for batch in batches:
             images = batch["image"] if isinstance(batch, dict) else batch
