@@ -111,6 +111,9 @@ def bench_train():
     cfg.MODEL.OUTPUT_STRIDE = int(os.environ.get("BENCH_OS", 16))
     cfg.SOLVER.AUX = False
     cfg.TRAIN.SYNC_BATCH_NORM = True
+    # BENCH_ELIDE=0: force the multi-replica collective graph on one
+    # chip (A/B of the single-replica elision, BASELINE.md round 4)
+    cfg.TPU.ELIDE_COLLECTIVES = os.environ.get("BENCH_ELIDE", "1") != "0"
     # backend must be up BEFORE model construction: norm_from_cfg's
     # single-replica SyncBN downgrade reads jax.device_count()
     on_tpu = wait_for_backend() != "cpu"

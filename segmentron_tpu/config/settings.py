@@ -253,6 +253,15 @@ cfg.TPU.FUSED_STEM = "block1"  # Xception entry chain as ONE pallas
 #   72.65 -> 84.01 img/s on v5e @1024x2048 (BASELINE.md round 3) —
 #   the default. Eval-only; gated to supported geometry/backends in
 #   backbones/xception.py::_fused_stem_mode.
+cfg.TPU.ELIDE_COLLECTIVES = True  # skip psum/pmean over size-1 mesh
+#   axes at trace time (SyncBN -> BN downgrade + step-level grad/loss/
+#   stats/CM reduction skip). A single-replica collective is the
+#   identity but XLA emits it anyway (~4 ms/step measured on the v5e
+#   train config). Numerically equivalent per apply (<=1e-6, pinned by
+#   tests/test_single_replica_skip.py; NOT bit-exact — SyncBN's
+#   E[x^2]-E[x]^2 variance differs in ulps from plain BN's). False
+#   forces the multi-replica graph on one chip — only useful for A/B
+#   measurement of the elision itself.
 cfg.TPU.STEM_WBLOCK = True  # W-blocked stem conv (ops/stem.py): exact
 #   reformulation of the C_in<=4 image conv that feeds the MXU B*C
 #   contraction lanes via FREE NHWC reshapes. 3.0x on the Xception

@@ -60,7 +60,9 @@ def _axis_reduce(reduce_fn, mesh: Mesh, axis: str):
     the 1-chip train config) — skip it at trace time. The gate reads
     the actual mesh, so multi-device semantics are untouched.
     """
-    if int(mesh.shape[axis]) == 1:
+    from ..config import cfg
+
+    if int(mesh.shape[axis]) == 1 and bool(cfg.TPU.ELIDE_COLLECTIVES):
         return lambda x: x
     return functools.partial(reduce_fn, axis_name=axis)
 

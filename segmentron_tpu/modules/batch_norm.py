@@ -123,7 +123,7 @@ def norm_from_cfg(cfg, encoder: bool = True) -> NormConfig:
         # way (E[x^2] - E[x]^2) with or without axis_name, and the
         # stack/pmean/unstack is a value no-op at size 1. Also lets
         # single-chip scripts apply the model outside shard_map.
-        if data_axis_size(cfg) == 1:
+        if data_axis_size(cfg) == 1 and bool(cfg.TPU.ELIDE_COLLECTIVES):
             bn_type = "BN"
     return NormConfig(
         bn_type=bn_type,

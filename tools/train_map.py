@@ -1,0 +1,302 @@
+"""Train-step component map on the real chip (VERDICT r3 next-round #1).
+
+The inference side got a per-part component map (BASELINE.md r2) that
+exposed where the slack was; this tool does the same for the TRAINING
+step: flagship config #3 (DeepLabv3+/Xception-65, 768^2 crops, batch 8,
+bf16 compute, SGD+poly) decomposed by model prefix and by graph mode.
+
+One measurement per invocation (each fresh graph is a multi-minute
+remote compile through the relay; the persistent cache under
+.jax_cache/ makes re-runs instant), selected by MAP_MODE:
+
+  full          production train step (== BENCH_MODE=train bench.py)
+  fwd           train-mode forward + CE loss only (no grad/update)
+  fwd_eval      eval-mode forward + CE (BN running stats; the delta vs
+                `fwd` is the train-BN statistics chain, forward only)
+  part_entry    train step of the Xception ENTRY flow (stem..block3,
+                stride 16) + 1x1 classifier, CE at stride 16
+  part_middle   entry + 16 middle blocks
+  part_backbone full backbone (entry+middle+exit)
+  frozen        full model, FrozenBN everywhere (the delta vs `full`
+                is the whole BN-training cost: stats fwd + stats bwd)
+  remat_dots    full step, jax.checkpoint dots policy
+  remat_full    full step, full remat
+
+Part deltas give per-stage fwd+bwd+update cost:
+  entry = T(part_entry); middle = T(part_middle) - T(part_entry);
+  exit = T(part_backbone) - T(part_middle);
+  head(ASPP+decoder+resize+fullres loss) = T(full) - T(part_backbone).
+
+Methodology identical to bench.py (fori_loop inside ONE jitted program,
+scalar readback stops the clock; the relay's block_until_ready is a
+no-op). Env knobs: MAP_CROP (768), MAP_BATCH (8), MAP_ITERS (10).
+Appends one JSON line per run to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[map +{time.time() - T0:8.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def build_prefix_model(stages: str, nclass: int = 19):
+    """Truncated Xception-65 (OS16 geometry) + 1x1 classifier.
+
+    Mirrors backbones/xception.py::Xception65 block-for-block so the
+    per-stage train cost is the real one; the classifier head keeps the
+    loss shape tiny (stride-16 logits) and identical across parts.
+    """
+    import flax.linen as nn
+
+    from segmentron_tpu.config import cfg
+    from segmentron_tpu.models.backbones.xception import XceptionBlock
+    from segmentron_tpu.modules.basic import ConvBNReLU, SeparableConv2d, conv2d
+    from segmentron_tpu.modules.batch_norm import norm_from_cfg
+
+    norm = norm_from_cfg(cfg)
+
+    class XPrefix(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = ConvBNReLU(32, 3, 2, norm=norm, name="conv1")(x, train)
+            x = ConvBNReLU(64, 3, 1, norm=norm, name="conv2")(x, train)
+            x = XceptionBlock(
+                (128, 128, 128), 2, norm=norm, relu_first=False, name="block1"
+            )(x, train)
+            x = XceptionBlock((256, 256, 256), 2, norm=norm, name="block2")(
+                x, train
+            )
+            x = XceptionBlock((728, 728, 728), 2, norm=norm, name="block3")(
+                x, train
+            )
+            if stages in ("middle", "backbone"):
+                for i in range(16):
+                    x = XceptionBlock(
+                        (728, 728, 728), 1, skip_type="sum", norm=norm,
+                        name=f"middle{i + 1}",
+                    )(x, train)
+            if stages == "backbone":
+                x = XceptionBlock(
+                    (728, 1024, 1024), 1, dilation=1, norm=norm, name="exit1"
+                )(x, train)
+                for i, ch in enumerate((1536, 1536, 2048)):
+                    x = SeparableConv2d(
+                        ch, 3, dilation=2, norm=norm, relu_first=False,
+                        name=f"exit_sep{i + 1}",
+                    )(x, train)
+                    x = nn.relu(x)
+            x = conv2d(nclass, 1, 1, 0, name="classifier")(x)
+            return (x,)
+
+    return XPrefix()
+
+
+def main():
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from segmentron_tpu.config import cfg
+    from segmentron_tpu.engine.steps import TrainState, make_train_step
+    from segmentron_tpu.models import get_segmentation_model
+    from segmentron_tpu.solver import (
+        get_lr_scheduler,
+        get_optimizer,
+        get_segmentation_loss,
+    )
+    from segmentron_tpu.solver.loss import cross_entropy
+    from segmentron_tpu.utils.compileopts import tpu_compiler_options
+
+    mode = os.environ.get("MAP_MODE", "full")
+    crop = int(os.environ.get("MAP_CROP", 768))
+    batch = int(os.environ.get("MAP_BATCH", 8))
+    iters = int(os.environ.get("MAP_ITERS", 10))
+
+    cfg.defrost()
+    cfg.DATASET.NAME = "cityscapes"
+    cfg.MODEL.MODEL_NAME = "DeepLabV3_Plus"
+    cfg.MODEL.BACKBONE = "xception65"
+    cfg.MODEL.OUTPUT_STRIDE = 16
+    cfg.SOLVER.AUX = False
+    cfg.TRAIN.SYNC_BATCH_NORM = True
+    if mode == "frozen":
+        cfg.MODEL.BN_TYPE = "FrozenBN"
+    if mode == "remat_dots":
+        cfg.TPU.REMAT = "dots"
+    elif mode == "remat_full":
+        cfg.TPU.REMAT = "full"
+
+    # backend must be up BEFORE model construction (norm downgrade
+    # reads jax.device_count(); see bench.py)
+    backend = None
+    for _ in range(30):
+        try:
+            backend = jax.default_backend()
+            break
+        except RuntimeError as e:
+            log(f"backend unavailable ({e}); retry in 60s")
+            time.sleep(60)
+    on_tpu = backend not in (None, "cpu")
+    half = jnp.bfloat16 if on_tpu else jnp.float32
+
+    if mode.startswith("part_"):
+        model = build_prefix_model(mode.split("_", 1)[1])
+        s = 16
+
+        def criterion(outputs, masks):
+            return cross_entropy(outputs[0], masks[:, ::s, ::s])
+
+    else:
+        model = get_segmentation_model()
+        criterion = get_segmentation_loss(
+            cfg.MODEL.MODEL_NAME,
+            use_ohem=cfg.SOLVER.OHEM,
+            aux=cfg.SOLVER.AUX,
+            aux_weight=cfg.SOLVER.AUX_WEIGHT,
+            loss_name=cfg.SOLVER.LOSS_NAME,
+        )
+
+    log(f"mode={mode} crop={crop} batch={batch}; init on CPU")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+        )
+        tx = get_optimizer(cfg, variables["params"], get_lr_scheduler(cfg, 100))
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            rng=jax.random.PRNGKey(1),
+        )
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    images = jax.device_put(jnp.full((batch, crop, crop, 3), 0.1, jnp.float32), dev)
+    masks = jax.device_put(jnp.zeros((batch, crop, crop), jnp.int32), dev)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+
+    if mode in ("fwd", "fwd_eval"):
+        train_flag = mode == "fwd"
+
+        def fwd_loss(params, batch_stats, imgs, msks, rng):
+            from segmentron_tpu.engine.steps import _cast_floats
+
+            p = _cast_floats(params, half)
+            if train_flag:
+                out, _ = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    imgs.astype(half), True,
+                    mutable=["batch_stats"], rngs={"dropout": rng},
+                )
+            else:
+                out = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    imgs.astype(half), False,
+                )
+            return criterion(out, msks)
+
+        def run(st, imgs, msks, n):
+            # anti-hoisting: perturb the stem conv1 kernel by 0*acc each
+            # iteration (param-carried; see bench.py harness notes)
+            def body(i, acc):
+                params = jax.tree_util.tree_map(lambda a: a, st.params)
+                node = params
+                path = ("backbone", "conv1", "conv", "kernel")
+                for k in path[:-1]:
+                    node = node[k]
+                node[path[-1]] = node[path[-1]] + (0.0 * acc).astype(
+                    node[path[-1]].dtype
+                )
+                return acc + fwd_loss(
+                    params, st.batch_stats, imgs, msks, st.rng
+                ).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        timed = jax.jit(
+            jax.shard_map(
+                run, mesh=mesh, in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P(), check_vma=False,
+            ),
+            compiler_options=tpu_compiler_options(),
+        )
+
+        log("compiling (remote compile may take many minutes)")
+        v0 = float(np.asarray(timed(state, images, masks, 1)))
+        assert np.isfinite(v0), v0
+        log(f"compiled (warm loss {v0:.4f}); timing")
+        t0 = time.perf_counter()
+        v1 = float(np.asarray(timed(state, images, masks, iters)))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(v1), v1
+    else:
+        step = make_train_step(
+            model, criterion, tx, mesh, compute_dtype=half,
+            remat=str(cfg.TPU.REMAT),
+        )
+        raw = step.raw
+
+        def run(st, imgs, msks, n):
+            def body(i, carry):
+                s2, _ = carry
+                return raw(s2, imgs, msks)
+
+            return jax.lax.fori_loop(0, n, body, (st, jnp.float32(0.0)))[1]
+
+        timed = jax.jit(
+            jax.shard_map(
+                run, mesh=mesh, in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P(), check_vma=False,
+            ),
+            compiler_options=tpu_compiler_options(),
+        )
+        log("compiling (remote compile may take many minutes)")
+        l0 = float(np.asarray(timed(state, images, masks, 1)))
+        assert np.isfinite(l0), l0
+        log(f"compiled (warm loss {l0:.4f}); timing")
+        t0 = time.perf_counter()
+        l1 = float(np.asarray(timed(state, images, masks, iters)))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(l1), l1
+
+    ms = dt / iters * 1000.0
+    print(
+        json.dumps(
+            {
+                "tool": "train_map",
+                "mode": mode,
+                "crop": crop,
+                "batch": batch,
+                "iters": iters,
+                "ms_per_step": round(ms, 2),
+                "img_per_s": round(iters * batch / dt, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
