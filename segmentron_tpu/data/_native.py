@@ -58,12 +58,18 @@ def _build() -> Optional[str]:
     if os.path.exists(so):
         return so
     os.makedirs(cache_dir, exist_ok=True)
+    # g++ writes its output incrementally: a concurrent process seeing
+    # the final path mid-write would dlopen a truncated ELF. Compile to
+    # a pid-unique temp name and os.rename (atomic on one filesystem)
+    # so the final path only ever holds a complete binary.
+    tmp = f"{so}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-o", so, _SRC, "-ljpeg",
+        "-o", tmp, _SRC, "-ljpeg",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp, so)
         return so
     except Exception:
         # no LINKABLE libjpeg on this system: rebuild with the jpeg
@@ -76,8 +82,13 @@ def _build() -> Optional[str]:
                 cmd[:-1] + ["-DSEGTRON_NO_JPEG"], check=True,
                 capture_output=True, timeout=120,
             )
+            os.rename(tmp, so)
             return so
         except Exception:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
             return None
 
 

@@ -43,3 +43,29 @@ def fresh_cfg():
     cfg.clear()
     for k, v in type(cfg)(snapshot).items():
         dict.__setitem__(cfg, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Fast tier (VERDICT r3 #8): `pytest -m fast` selects a <5-min core
+# subset (config/registry/losses/metrics/ops+modules parity/one full-
+# model oracle/loader determinism) so every commit can be gated without
+# the ~70-min full run on this 1-CPU host. Centralized here instead of
+# per-file pytestmark so the tier is visible in one place.
+_FAST_MODULES = {
+    "test_config",
+    "test_registry",
+    "test_score",
+    "test_solver",
+    "test_loss_oracles",
+    "test_ops_parity",
+    "test_modules_parity",
+    "test_data_determinism",
+}
+_FAST_TESTS = {"test_fcn_resnet50_full_model_parity"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1] if item.module else ""
+        if mod in _FAST_MODULES or item.name.split("[")[0] in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)

@@ -73,7 +73,11 @@ def test_demo_cli_end_to_end(tmp_path, monkeypatch, fresh_cfg):
     from PIL import Image
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, os.path.join(repo, "tools"))
+    # monkeypatch reverts the path entry after the test; drop the
+    # generically-named module from the import cache too so nothing
+    # leaks into later tests (ADVICE r3)
+    monkeypatch.syspath_prepend(os.path.join(repo, "tools"))
+    monkeypatch.delitem(sys.modules, "demo", raising=False)
     import demo
 
     img_path = tmp_path / "street.png"
@@ -99,7 +103,10 @@ def test_demo_cli_end_to_end(tmp_path, monkeypatch, fresh_cfg):
             "False",
         ],
     )
-    demo.main()
+    try:
+        demo.main()
+    finally:
+        sys.modules.pop("demo", None)
 
     out = out_dir / "street_mask.png"
     assert out.exists()
