@@ -356,6 +356,7 @@ def convert_generic_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     - ``*.bias``        -> ``bias`` (conv, dense and norm alike)
     - ``*.running_mean/var`` -> batch_stats ``mean``/``var``
     - ``*.num_batches_tracked`` -> dropped
+    - 0-d tensors -> param under the torch leaf name (attention gamma)
     """
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -385,6 +386,10 @@ def convert_generic_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
                 put(params, scope, "scale", v)
         elif leaf == "bias":
             put(params, scope, "bias", v)
+        elif v.ndim == 0:
+            # scalar params keep their own name (DANet/OCNet attention
+            # ``gamma`` residual weights; flax declares them 0-d too)
+            put(params, scope, leaf, v)
         else:
             raise ValueError(f"Unrecognized state_dict leaf: {key!r}")
     return {"params": params, "batch_stats": stats}

@@ -176,3 +176,170 @@ def test_deeplabv3plus_xception65_full_model_parity(fresh_cfg):
     with torch.no_grad():
         want = tm(_nchw(x))
     _assert_close(got[0], want[0], 1e-3, "main logits")
+
+
+def test_pspnet_resnet101_full_model_parity(fresh_cfg):
+    """Config #2: converted ResNet-101 (OS8) + PSP head + aux logits
+    match torch end to end."""
+    from segmentron_tpu.models.pspnet import PSPNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 6
+    layers = (3, 4, 23, 3)
+    tbb = tr.TorchResNet(tr.TorchBottleneck, layers, output_stride=8)
+    tm = tr.randomize(
+        tr.TorchPSPNet(tbb, 2048, nclass, aux=True, c3_ch=1024), seed=7
+    )
+    state = _state(tm)
+    bb_state = {k[len("backbone."):]: v for k, v in state.items()
+                if k.startswith("backbone.")}
+    head_state = {k: v for k, v in state.items()
+                  if not k.startswith("backbone.")}
+    bb_tree = convert_resnet_state(bb_state, layers)
+    head_tree = generic(head_state)
+    variables = {
+        "params": {"backbone": bb_tree["params"], **head_tree["params"]},
+        "batch_stats": {"backbone": bb_tree["batch_stats"],
+                        **head_tree["batch_stats"]},
+    }
+    model = PSPNet(nclass=nclass, backbone="resnet101", aux=True,
+                   encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    init = model.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 65, 65, 3), np.float32))
+    for col in ("params", "batch_stats"):
+        a = jax.tree.map(lambda v: v.shape, init[col])
+        b = jax.tree.map(lambda v: np.asarray(v).shape, variables[col])
+        assert a == b, col
+    x = np.random.RandomState(0).randn(1, 65, 65, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
+    _assert_close(got[1], want[1], 1e-3, "aux logits")
+
+
+def test_danet_resnet101_full_model_parity(fresh_cfg):
+    """Config #5a: converted multi-grid ResNet-101 (OS8) + PAM/CAM dual
+    attention; all three logits match torch end to end."""
+    from segmentron_tpu.models.danet import DANet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    fresh_cfg.MODEL.DANET.MULTI_GRID = True
+    fresh_cfg.MODEL.DANET.MULTI_DILATION = [4, 8, 16]
+    nclass = 5
+    layers = (3, 4, 23, 3)
+    tbb = tr.TorchResNet(tr.TorchBottleneck, layers, output_stride=8,
+                         multi_dilation=(4, 8, 16))
+    tm = tr.randomize(tr.TorchDANet(tbb, 2048, nclass, aux=True), seed=8)
+    state = _state(tm)
+    bb_state = {k[len("backbone."):]: v for k, v in state.items()
+                if k.startswith("backbone.")}
+    head_state = {k: v for k, v in state.items()
+                  if not k.startswith("backbone.")}
+    bb_tree = convert_resnet_state(bb_state, layers)
+    head_tree = generic(head_state)
+    variables = {
+        "params": {"backbone": bb_tree["params"], **head_tree["params"]},
+        "batch_stats": {"backbone": bb_tree["batch_stats"],
+                        **head_tree["batch_stats"]},
+    }
+    model = DANet(nclass=nclass, backbone="resnet101", aux=True,
+                  encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    init = model.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 65, 65, 3), np.float32))
+    for col in ("params", "batch_stats"):
+        a = jax.tree.map(lambda v: v.shape, init[col])
+        b = jax.tree.map(lambda v: np.asarray(v).shape, variables[col])
+        assert a == b, col
+    x = np.random.RandomState(1).randn(1, 65, 65, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "fused logits")
+    _assert_close(got[1], want[1], 1e-3, "pam logits")
+    _assert_close(got[2], want[2], 1e-3, "cam logits")
+
+
+def test_ocnet_resnet101_full_model_parity(fresh_cfg):
+    """Config #5b: converted ResNet-101 (OS8) + base OC module; main and
+    aux logits match torch end to end."""
+    from segmentron_tpu.models.ocnet import OCNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 5
+    layers = (3, 4, 23, 3)
+    tbb = tr.TorchResNet(tr.TorchBottleneck, layers, output_stride=8)
+    tm = tr.randomize(
+        tr.TorchOCNet(tbb, 2048, nclass, aux=True, c3_ch=1024), seed=9
+    )
+    state = _state(tm)
+    bb_state = {k[len("backbone."):]: v for k, v in state.items()
+                if k.startswith("backbone.")}
+    head_state = {k: v for k, v in state.items()
+                  if not k.startswith("backbone.")}
+    bb_tree = convert_resnet_state(bb_state, layers)
+    head_tree = generic(head_state)
+    variables = {
+        "params": {"backbone": bb_tree["params"], **head_tree["params"]},
+        "batch_stats": {"backbone": bb_tree["batch_stats"],
+                        **head_tree["batch_stats"]},
+    }
+    model = OCNet(nclass=nclass, backbone="resnet101", aux=True,
+                  encoder_norm=NormConfig(), decoder_norm=NormConfig(),
+                  oc_arch="base")
+    init = model.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 65, 65, 3), np.float32))
+    for col in ("params", "batch_stats"):
+        a = jax.tree.map(lambda v: v.shape, init[col])
+        b = jax.tree.map(lambda v: np.asarray(v).shape, variables[col])
+        assert a == b, col
+    x = np.random.RandomState(2).randn(1, 65, 65, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
+    _assert_close(got[1], want[1], 1e-3, "aux logits")
+
+
+def test_hrnet_ocr_full_model_parity(fresh_cfg):
+    """Config #4: converted HRNet (official naming) + OCR head; main and
+    soft-region (aux) logits match torch end to end. Uses the w18_small
+    spec — the OCR head logic is width-independent, so this pins the
+    same conversion/numerics chain as W48 at CPU-test cost."""
+    from segmentron_tpu.models.backbones.hrnet import HRNET_SPECS
+    from segmentron_tpu.models.hrnet_seg import HRNetSeg
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 5
+    spec = HRNET_SPECS["hrnet_w18_small_v1"]
+    tm = tr.randomize(tr.TorchHRNetSegOCR(spec, nclass), seed=10)
+    state = _state(tm)
+    bb_state = {k[len("backbone."):]: v for k, v in state.items()
+                if k.startswith("backbone.")}
+    head_state = {k: v for k, v in state.items()
+                  if not k.startswith("backbone.")}
+    bb_tree = convert_hrnet_state(bb_state, spec)
+    head_tree = generic(head_state)
+    variables = {
+        "params": {"backbone": bb_tree["params"], **head_tree["params"]},
+        "batch_stats": {"backbone": bb_tree["batch_stats"],
+                        **head_tree["batch_stats"]},
+    }
+    model = HRNetSeg(nclass=nclass, backbone="hrnet_w18_small_v1",
+                     encoder_norm=NormConfig(), decoder_norm=NormConfig(),
+                     ocr_enable=True)
+    init = model.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 64, 64, 3), np.float32))
+    for col in ("params", "batch_stats"):
+        a = jax.tree.map(lambda v: v.shape, init[col])
+        b = jax.tree.map(lambda v: np.asarray(v).shape, variables[col])
+        assert a == b, col
+    x = np.random.RandomState(3).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "ocr logits")
+    _assert_close(got[1], want[1], 1e-3, "region (aux) logits")

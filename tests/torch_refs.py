@@ -107,9 +107,13 @@ class TorchBottleneck(nn.Module):
 
 
 class TorchResNet(nn.Module):
-    """torchvision-named dilated ResNet mirroring flax backbones/resnet.py."""
+    """torchvision-named dilated ResNet mirroring flax backbones/resnet.py.
 
-    def __init__(self, block, layers, output_stride=16):
+    ``multi_dilation`` (DANet multi-grid) applies the flax rule to
+    layer4: d = md[b % len(md)] * max(stage_dilation // 2, 1).
+    """
+
+    def __init__(self, block, layers, output_stride=16, multi_dilation=None):
         super().__init__()
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
@@ -130,7 +134,11 @@ class TorchResNet(nn.Module):
                 s = strides[li - 1] if b == 0 else 1
                 dilation = dilations[li - 1]
                 # flax _make_layer dilation rule
-                if dilation in (1, 2) or b > 0:
+                if li == 4 and multi_dilation is not None:
+                    d = multi_dilation[b % len(multi_dilation)] * max(
+                        dilation // 2, 1
+                    )
+                elif dilation in (1, 2) or b > 0:
                     d = dilation
                 else:
                     d = dilation // 2
@@ -549,3 +557,260 @@ class TorchDeepLabV3Plus(nn.Module):
         out = self.classifier(y)
         return (F.interpolate(out, size=size, mode="bilinear",
                               align_corners=True),)
+
+
+# ===================================================== PSPNet (config #2)
+class TorchPyramidPooling(nn.Module):
+    """flax modules/module.py::PyramidPooling twin (scopes p0..p3)."""
+
+    def __init__(self, cin, bins=(1, 2, 3, 6)):
+        super().__init__()
+        self.bins = bins
+        for i in range(len(bins)):
+            setattr(self, f"p{i}", ConvBN(cin, cin // 4, 1, padding=0))
+
+    def forward(self, x):
+        size = x.shape[2:]
+        outs = [x]
+        for i, b in enumerate(self.bins):
+            y = getattr(self, f"p{i}")(F.adaptive_avg_pool2d(x, b))
+            outs.append(F.interpolate(y, size=size, mode="bilinear",
+                                      align_corners=True))
+        return torch.cat(outs, dim=1)
+
+
+class TorchPSPHead(nn.Module):
+    """flax models/pspnet.py::_PSPHead twin (psp/block/classifier)."""
+
+    def __init__(self, cin, nclass):
+        super().__init__()
+        self.psp = TorchPyramidPooling(cin)
+        self.block = ConvBN(cin * 2, 512, 3)
+        self.classifier = nn.Conv2d(512, nclass, 1, bias=True)
+
+    def forward(self, x):  # eval: dropout = identity
+        return self.classifier(self.block(self.psp(x)))
+
+
+class TorchPSPNet(nn.Module):
+    """Whole-model PSPNet twin (backbone/head/auxlayer)."""
+
+    def __init__(self, backbone, c4_ch, nclass, aux=True, c3_ch=None):
+        super().__init__()
+        self.backbone = backbone
+        self.head = TorchPSPHead(c4_ch, nclass)
+        self.aux = aux
+        if aux:
+            self.auxlayer = TorchFCNHead(c3_ch, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        outs = [F.interpolate(self.head(c4), size=size, mode="bilinear",
+                              align_corners=True)]
+        if self.aux:
+            outs.append(F.interpolate(self.auxlayer(c3), size=size,
+                                      mode="bilinear", align_corners=True))
+        return tuple(outs)
+
+
+# ===================================================== DANet (config #5a)
+class TorchPAM(nn.Module):
+    """flax models/danet.py::PAM twin (query/key/value/gamma)."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.query = nn.Conv2d(c, c // 8, 1, bias=True)
+        self.key = nn.Conv2d(c, c // 8, 1, bias=True)
+        self.value = nn.Conv2d(c, c, 1, bias=True)
+        self.gamma = nn.Parameter(torch.zeros(()))
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        q = self.query(x).reshape(n, c // 8, h * w).permute(0, 2, 1)
+        k = self.key(x).reshape(n, c // 8, h * w)
+        attn = F.softmax(torch.bmm(q, k), dim=-1)  # (n, p, p)
+        v = self.value(x).reshape(n, c, h * w)
+        out = torch.bmm(v, attn.permute(0, 2, 1)).reshape(n, c, h, w)
+        return self.gamma * out + x
+
+
+class TorchCAM(nn.Module):
+    """flax models/danet.py::CAM twin (gamma only)."""
+
+    def __init__(self):
+        super().__init__()
+        self.gamma = nn.Parameter(torch.zeros(()))
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        flat = x.reshape(n, c, h * w)  # (n, c, p)
+        energy = torch.bmm(flat, flat.permute(0, 2, 1))  # (n, c, d)
+        energy = energy.max(dim=-1, keepdim=True).values - energy
+        attn = F.softmax(energy, dim=-1)
+        out = torch.bmm(attn, flat).reshape(n, c, h, w)
+        return self.gamma * out + x
+
+
+class TorchDANet(nn.Module):
+    """Whole-model DANet twin (conv_p1/pam/conv_p2, conv_c1/cam/conv_c2,
+    out/p_out/c_out); eval mode, dropouts identity."""
+
+    def __init__(self, backbone, c4_ch, nclass, aux=True):
+        super().__init__()
+        inter = c4_ch // 4
+        self.backbone = backbone
+        self.conv_p1 = ConvBN(c4_ch, inter, 3)
+        self.pam = TorchPAM(inter)
+        self.conv_p2 = ConvBN(inter, inter, 3)
+        self.conv_c1 = ConvBN(c4_ch, inter, 3)
+        self.cam = TorchCAM()
+        self.conv_c2 = ConvBN(inter, inter, 3)
+        self.out = nn.Conv2d(inter, nclass, 1, bias=True)
+        self.aux = aux
+        if aux:
+            self.p_out = nn.Conv2d(inter, nclass, 1, bias=True)
+            self.c_out = nn.Conv2d(inter, nclass, 1, bias=True)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        pa = self.conv_p2(self.pam(self.conv_p1(c4)))
+        ca = self.conv_c2(self.cam(self.conv_c1(c4)))
+        up = lambda t: F.interpolate(t, size=size, mode="bilinear",  # noqa: E731
+                                     align_corners=True)
+        outs = [up(self.out(pa + ca))]
+        if self.aux:
+            outs.append(up(self.p_out(pa)))
+            outs.append(up(self.c_out(ca)))
+        return tuple(outs)
+
+
+# ===================================================== OCNet (config #5b)
+class TorchSelfAttentionBlock(nn.Module):
+    """flax models/ocnet.py::SelfAttentionBlock twin
+    (f_query/f_key/f_value/w_out), scaled by key_channels**-0.5."""
+
+    def __init__(self, cin, key_ch, val_ch, out_ch):
+        super().__init__()
+        self.key_ch = key_ch
+        self.f_query = ConvBN(cin, key_ch, 1, padding=0)
+        self.f_key = ConvBN(cin, key_ch, 1, padding=0)
+        self.f_value = nn.Conv2d(cin, val_ch, 1, bias=True)
+        self.w_out = nn.Conv2d(val_ch, out_ch, 1, bias=True)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        q = self.f_query(x).reshape(n, self.key_ch, h * w).permute(0, 2, 1)
+        k = self.f_key(x).reshape(n, self.key_ch, h * w)
+        attn = F.softmax(torch.bmm(q, k) * self.key_ch ** -0.5, dim=-1)
+        v = self.f_value(x).reshape(n, -1, h * w).permute(0, 2, 1)
+        ctx = torch.bmm(attn, v).permute(0, 2, 1).reshape(n, -1, h, w)
+        return self.w_out(ctx)
+
+
+class TorchBaseOCModule(nn.Module):
+    """flax BaseOCModule twin (attn/proj); eval dropout identity."""
+
+    def __init__(self, cin, out_ch):
+        super().__init__()
+        self.attn = TorchSelfAttentionBlock(cin, out_ch // 2, out_ch, out_ch)
+        self.proj = ConvBN(out_ch + cin, out_ch, 1, padding=0)
+
+    def forward(self, x):
+        return self.proj(torch.cat([self.attn(x), x], dim=1))
+
+
+class TorchOCNet(nn.Module):
+    """Whole-model OCNet (base OC) twin (reduce/oc/classifier/auxlayer)."""
+
+    def __init__(self, backbone, c4_ch, nclass, aux=True, c3_ch=None):
+        super().__init__()
+        self.backbone = backbone
+        self.reduce = ConvBN(c4_ch, 512, 3)
+        self.oc = TorchBaseOCModule(512, 512)
+        self.classifier = nn.Conv2d(512, nclass, 1, bias=True)
+        self.aux = aux
+        if aux:
+            self.auxlayer = TorchFCNHead(c3_ch, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        y = self.oc(self.reduce(c4))
+        outs = [F.interpolate(self.classifier(y), size=size, mode="bilinear",
+                              align_corners=True)]
+        if self.aux:
+            outs.append(F.interpolate(self.auxlayer(c3), size=size,
+                                      mode="bilinear", align_corners=True))
+        return tuple(outs)
+
+
+# ============================================= HRNet + OCR (config #4)
+class TorchObjectAttention(nn.Module):
+    """flax models/hrnet_seg.py::ObjectAttention twin
+    (f_pixel/f_object/f_down/f_up)."""
+
+    def __init__(self, cin, key_ch, out_ch):
+        super().__init__()
+        self.key_ch = key_ch
+        self.f_pixel = ConvBN(cin, key_ch, 1, padding=0)
+        self.f_object = ConvBN(cin, key_ch, 1, padding=0)
+        self.f_down = ConvBN(cin, key_ch, 1, padding=0)
+        self.f_up = ConvBN(key_ch, out_ch, 1, padding=0)
+
+    def forward(self, x, regions):
+        # x: (n, c, h, w); regions: (n, k, c)
+        n, c, h, w = x.shape
+        k = regions.shape[1]
+        q = self.f_pixel(x).reshape(n, self.key_ch, h * w).permute(0, 2, 1)
+        reg = regions.permute(0, 2, 1)[:, :, :, None]  # (n, c, k, 1)
+        key = self.f_object(reg).reshape(n, self.key_ch, k)
+        v = self.f_down(reg).reshape(n, self.key_ch, k).permute(0, 2, 1)
+        attn = F.softmax(torch.bmm(q, key) * self.key_ch ** -0.5, dim=-1)
+        ctx = torch.bmm(attn, v).permute(0, 2, 1).reshape(
+            n, self.key_ch, h, w
+        )
+        return self.f_up(ctx)
+
+
+class TorchHRNetSegOCR(nn.Module):
+    """Whole-model HRNetV2+OCR twin (aux_conv/aux_classifier/conv3x3_ocr/
+    ocr_attn/ocr_fuse/classifier); eval dropout identity."""
+
+    def __init__(self, spec, nclass, mid_ch=512, key_ch=256):
+        super().__init__()
+        self.backbone = TorchHRNet(spec)
+        _, _, blk4, _, ch4 = spec["stage4"]
+        exp = 4 if blk4 == "BOTTLENECK" else 1
+        feats = sum(c * exp for c in ch4)
+        self.aux_conv = ConvBN(feats, feats, 1, padding=0)
+        self.aux_classifier = nn.Conv2d(feats, nclass, 1, bias=True)
+        self.conv3x3_ocr = ConvBN(feats, mid_ch, 3)
+        self.ocr_attn = TorchObjectAttention(mid_ch, key_ch, mid_ch)
+        self.ocr_fuse = ConvBN(mid_ch * 2, mid_ch, 1, padding=0)
+        self.classifier = nn.Conv2d(mid_ch, nclass, 1, bias=True)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        branches = self.backbone(x)
+        hi = branches[0].shape[2:]
+        ups = [branches[0]] + [
+            F.interpolate(b, size=hi, mode="bilinear", align_corners=True)
+            for b in branches[1:]
+        ]
+        feats = torch.cat(ups, dim=1)
+        aux = self.aux_classifier(self.aux_conv(feats))
+        pixels = self.conv3x3_ocr(feats)
+        # SpatialGather: softmax over pixels per class
+        n, c, h, w = pixels.shape
+        k = aux.shape[1]
+        attn = F.softmax(aux.reshape(n, k, h * w), dim=-1)
+        regions = torch.bmm(attn, pixels.reshape(n, c, h * w).permute(0, 2, 1))
+        ctx = self.ocr_attn(pixels, regions)
+        y = self.ocr_fuse(torch.cat([ctx, pixels], dim=1))
+        out = self.classifier(y)
+        return (
+            F.interpolate(out, size=size, mode="bilinear", align_corners=True),
+            F.interpolate(aux, size=size, mode="bilinear", align_corners=True),
+        )
