@@ -13,10 +13,17 @@ remote compile through the relay; the persistent cache under
   fwd           train-mode forward + CE loss only (no grad/update)
   fwd_eval      eval-mode forward + CE (BN running stats; the delta vs
                 `fwd` is the train-BN statistics chain, forward only)
+  part_stem     conv1+conv2 only (stride 2) + 1x1 classifier
+  part_block1   stem + block1 (stride 4)
+  part_block2   stem + block1 + block2 (stride 8)
   part_entry    train step of the Xception ENTRY flow (stem..block3,
                 stride 16) + 1x1 classifier, CE at stride 16
   part_middle   entry + 16 middle blocks
   part_backbone full backbone (entry+middle+exit)
+
+Composable env knobs (apply to any mode): MAP_FWDONLY=1 times the
+train-mode forward+loss only (no grad/update — per-part fwd/bwd
+split); MAP_BN=frozen forces FrozenBN (per-part BN-training cost).
   frozen        full model, FrozenBN everywhere (the delta vs `full`
                 is the whole BN-training cost: stats fwd + stats bwd)
   remat_dots    full step, jax.checkpoint dots policy
@@ -82,15 +89,19 @@ def build_prefix_model(stages: str, nclass: int = 19):
         def __call__(self, x, train: bool = True):
             x = ConvBNReLU(32, 3, 2, norm=norm, name="conv1")(x, train)
             x = ConvBNReLU(64, 3, 1, norm=norm, name="conv2")(x, train)
-            x = XceptionBlock(
-                (128, 128, 128), 2, norm=norm, relu_first=False, name="block1"
-            )(x, train)
-            x = XceptionBlock((256, 256, 256), 2, norm=norm, name="block2")(
-                x, train
-            )
-            x = XceptionBlock((728, 728, 728), 2, norm=norm, name="block3")(
-                x, train
-            )
+            if stages != "stem":
+                x = XceptionBlock(
+                    (128, 128, 128), 2, norm=norm, relu_first=False,
+                    name="block1",
+                )(x, train)
+            if stages not in ("stem", "block1"):
+                x = XceptionBlock((256, 256, 256), 2, norm=norm, name="block2")(
+                    x, train
+                )
+            if stages not in ("stem", "block1", "block2"):
+                x = XceptionBlock((728, 728, 728), 2, norm=norm, name="block3")(
+                    x, train
+                )
             if stages in ("middle", "backbone"):
                 for i in range(16):
                     x = XceptionBlock(
@@ -139,7 +150,7 @@ def main():
     cfg.MODEL.OUTPUT_STRIDE = 16
     cfg.SOLVER.AUX = False
     cfg.TRAIN.SYNC_BATCH_NORM = True
-    if mode == "frozen":
+    if mode == "frozen" or os.environ.get("MAP_BN", "") == "frozen":
         cfg.MODEL.BN_TYPE = "FrozenBN"
     if mode == "remat_dots":
         cfg.TPU.REMAT = "dots"
@@ -160,8 +171,9 @@ def main():
     half = jnp.bfloat16 if on_tpu else jnp.float32
 
     if mode.startswith("part_"):
-        model = build_prefix_model(mode.split("_", 1)[1])
-        s = 16
+        part = mode.split("_", 1)[1]
+        model = build_prefix_model(part)
+        s = {"stem": 2, "block1": 4, "block2": 8}.get(part, 16)
 
         def criterion(outputs, masks):
             return cross_entropy(outputs[0], masks[:, ::s, ::s])
@@ -197,8 +209,9 @@ def main():
 
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
 
-    if mode in ("fwd", "fwd_eval"):
-        train_flag = mode == "fwd"
+    fwdonly = os.environ.get("MAP_FWDONLY", "0") == "1"
+    if mode in ("fwd", "fwd_eval") or fwdonly:
+        train_flag = mode != "fwd_eval"
 
         def fwd_loss(params, batch_stats, imgs, msks, rng):
             from segmentron_tpu.engine.steps import _cast_floats
@@ -223,7 +236,11 @@ def main():
             def body(i, acc):
                 params = jax.tree_util.tree_map(lambda a: a, st.params)
                 node = params
-                path = ("backbone", "conv1", "conv", "kernel")
+                path = (
+                    ("conv1", "conv", "kernel")
+                    if mode.startswith("part_")
+                    else ("backbone", "conv1", "conv", "kernel")
+                )
                 for k in path[:-1]:
                     node = node[k]
                 node[path[-1]] = node[path[-1]] + (0.0 * acc).astype(
@@ -287,6 +304,8 @@ def main():
             {
                 "tool": "train_map",
                 "mode": mode,
+                "fwdonly": fwdonly,
+                "bn": str(cfg.MODEL.BN_TYPE),
                 "crop": crop,
                 "batch": batch,
                 "iters": iters,
