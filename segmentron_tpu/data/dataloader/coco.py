@@ -1,10 +1,12 @@
 """COCO mapped to the VOC-like 21-class set
 (reference: ``segmentron/data/dataloader/coco.py``).
 
-Requires pycocotools (not available in every image — import gated).
-The 20 VOC-equivalent category ids plus background, masks rasterised
-from polygon annotations; images whose mask has <1000 foreground pixels
-are filtered at index-build time, as upstream does.
+Uses pycocotools when available; otherwise falls back to the pure-
+Python ``_coco_min`` backend (exact RLE codec, PIL polygon fill — see
+its module note), so the dataset runs in images without the C
+extension. The 20 VOC-equivalent category ids plus background, masks
+rasterised from the annotations; images whose mask has <1000 foreground
+pixels are filtered at index-build time, as upstream does.
 """
 
 from __future__ import annotations
@@ -38,12 +40,12 @@ class COCOSegmentation(SegmentationDataset):
         try:
             from pycocotools.coco import COCO
             from pycocotools import mask as coco_mask
-        except ImportError as e:
-            raise ImportError(
-                "COCOSegmentation requires pycocotools; install it or use "
-                "another dataset"
-            ) from e
-        self._coco_mask = coco_mask
+
+            self._coco_mask = coco_mask
+        except ImportError:
+            from ._coco_min import MiniCOCO as COCO
+
+            self._coco_mask = None
         year = "2017"
         anno = "train" if split == "train" else "val"
         ann_file = os.path.join(root, "annotations", f"instances_{anno}{year}.json")
@@ -56,14 +58,23 @@ class COCOSegmentation(SegmentationDataset):
         else:
             self.ids = self._preprocess(list(self.coco.imgs.keys()), ids_file)
 
+    def _instance_mask(self, segmentation, h: int, w: int) -> np.ndarray:
+        """One annotation's segmentation -> (h, w) binary mask (possibly
+        (h, w, k) from pycocotools multi-polygon RLE)."""
+        if self._coco_mask is not None:
+            rle = self._coco_mask.frPyObjects(segmentation, h, w)
+            return self._coco_mask.decode(rle)
+        from ._coco_min import ann_to_mask
+
+        return ann_to_mask(segmentation, h, w)
+
     def _gen_seg_mask(self, target, h: int, w: int) -> np.ndarray:
         mask = np.zeros((h, w), np.uint8)
         for instance in target:
-            rle = self._coco_mask.frPyObjects(instance["segmentation"], h, w)
-            m = self._coco_mask.decode(rle)
             cat = instance["category_id"]
             if cat not in CAT_LIST:
                 continue
+            m = self._instance_mask(instance["segmentation"], h, w)
             c = CAT_LIST.index(cat)
             if len(m.shape) < 3:
                 mask[:, :] += (mask == 0) * (m * c).astype(np.uint8)

