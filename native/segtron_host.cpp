@@ -174,6 +174,31 @@ void resize_nearest_i32(const int32_t* src, int sh, int sw,
   }
 }
 
+// Pointwise u8 RGB -> (x/255 - mean)/std f32, one pass (the testval
+// path normalizes WHOLE 1024x2048 images with no resize — numpy does
+// this in four broadcasting passes over 24 MB; here it's one).
+// Op order matches numpy's `(arr/255 - mean)/std` exactly (divide,
+// subtract, divide — all f32) so the native path is BIT-IDENTICAL to
+// `SegmentationDataset._img_transform`'s fallback.
+void normalize_u8(const uint8_t* src, int n_px, const float* mean,
+                  const float* std_, float* dst) {
+  // 256-entry per-channel LUT: u8 has only 256 values, so the exact
+  // divide-subtract-divide chain runs 768 times total and the pixel
+  // loop is pure loads (memory-bound, ~5x the divide-per-pixel form).
+  float lut[3][256];
+  for (int c = 0; c < 3; ++c)
+    for (int v = 0; v < 256; ++v)
+      lut[c][v] = (static_cast<float>(v) / 255.0f - mean[c]) / std_[c];
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < n_px; ++i) {
+    const uint8_t* p = src + static_cast<size_t>(i) * 3;
+    float* q = dst + static_cast<size_t>(i) * 3;
+    q[0] = lut[0][p[0]];
+    q[1] = lut[1][p[1]];
+    q[2] = lut[2][p[2]];
+  }
+}
+
 // Label remap through a lookup table: out[i] = lut[src[i]].
 void remap_labels_u8(const uint8_t* src, int n, const int32_t* lut,
                      int32_t* dst) {

@@ -25,6 +25,11 @@ cfg.DATASET.MEAN = [0.485, 0.456, 0.406]
 cfg.DATASET.STD = [0.229, 0.224, 0.225]
 cfg.DATASET.IGNORE_INDEX = -1
 cfg.DATASET.WORKERS = 4
+# decoded-image disk cache dir ("" = off): post-decode uint8 arrays are
+# .npy-cached and memory-mapped on later epochs, replacing the per-epoch
+# PNG/JPEG decode with page-cache reads (data/cache.py; env
+# SEGMENTRON_DECODED_CACHE overrides)
+cfg.DATASET.DECODED_CACHE = ""
 cfg.DATASET.MODE = "testval"  # val-time transform mode: val | testval
 
 # ---------------------------------------------------------------- train

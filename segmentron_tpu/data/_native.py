@@ -117,6 +117,7 @@ def native_lib() -> Optional[ctypes.CDLL]:
             u8p, c_int, c_int, f32p, c_int, c_int, f32p, f32p,
         ]
         lib.resize_nearest_i32.argtypes = [i32p, c_int, c_int, i32p, c_int, c_int]
+        lib.normalize_u8.argtypes = [u8p, c_int, f32p, f32p, f32p]
         lib.remap_labels_u8.argtypes = [u8p, c_int, i32p, i32p]
         c_intp = ctypes.POINTER(ctypes.c_int)
         lib.jpeg_dims.argtypes = [u8p, c_int, c_intp, c_intp]
@@ -158,6 +159,23 @@ def fused_resize_normalize(
     img = Image.fromarray(src).resize((dw, dh), Image.BILINEAR)
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - mean) / std
+
+
+def normalize_u8(src: np.ndarray, mean: np.ndarray, std: np.ndarray):
+    """u8 (H, W, 3) -> `(x/255 - mean)/std` f32, one OpenMP pass,
+    bit-identical to the numpy fallback's op order. None without the
+    native lib."""
+    lib = native_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    out = np.empty(src.shape, np.float32)
+    lib.normalize_u8(
+        src.reshape(-1), src.shape[0] * src.shape[1],
+        np.ascontiguousarray(mean, np.float32),
+        np.ascontiguousarray(std, np.float32), out.reshape(-1),
+    )
+    return out
 
 
 def remap_labels(src: np.ndarray, lut: np.ndarray) -> np.ndarray:
@@ -297,8 +315,23 @@ def open_rgb(path: str, lazy: bool = False):
     With ``lazy=True`` (the train path), JPEGs come back as a
     ``LazyJpeg`` instead — header dims only, pixels decoded later at
     the DCT scale / scanline window the augmentation actually needs.
-    Gate: env SEGMENTRON_SCALED_DECODE=0 restores eager decode."""
+    Gate: env SEGMENTRON_SCALED_DECODE=0 restores eager decode.
+
+    With the decoded cache enabled (``cfg.DATASET.DECODED_CACHE`` /
+    env SEGMENTRON_DECODED_CACHE), a hit returns a memory-mapped
+    ``CachedImage`` without touching the source file's pixels; a miss
+    decodes at FULL resolution (the cache must hold exact pixels, so
+    the DCT-scaled lazy path is bypassed once per file) and populates
+    the cache for every later epoch."""
     from PIL import Image
+
+    from .cache import CachedImage, decoded_cache
+
+    cache = decoded_cache()
+    if cache is not None:
+        arr = cache.get(path)
+        if arr is not None and arr.ndim == 3 and arr.dtype == np.uint8:
+            return CachedImage(arr)
 
     if path.lower().endswith((".jpg", ".jpeg")):
         try:
@@ -308,7 +341,8 @@ def open_rgb(path: str, lazy: bool = False):
             data = None
         if data is not None:
             if (
-                lazy
+                cache is None
+                and lazy
                 and native_lib() is not None
                 and os.environ.get("SEGMENTRON_SCALED_DECODE", "1") != "0"
             ):
@@ -323,8 +357,16 @@ def open_rgb(path: str, lazy: bool = False):
                     return LazyJpeg(data, h.value, w.value)
             arr = decode_jpeg(data)
             if arr is not None:
+                if cache is not None:
+                    cache.put(path, arr)
+                    return CachedImage(arr)
                 return Image.fromarray(arr)
-    return Image.open(path).convert("RGB")
+    img = Image.open(path).convert("RGB")
+    if cache is not None:
+        arr = np.asarray(img, np.uint8)
+        cache.put(path, arr)
+        return CachedImage(arr)
+    return img
 
 
 def train_augment(

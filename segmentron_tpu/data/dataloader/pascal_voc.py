@@ -61,6 +61,8 @@ class VOCSegmentation(SegmentationDataset):
             return self.transform_pair(img, None)[0], None, os.path.basename(
                 self.images[index]
             )
-        mask = Image.open(self.masks[index])
+        from ..cache import open_mask
+
+        mask = open_mask(self.masks[index])
         img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

@@ -48,6 +48,8 @@ class SBUSegmentation(SegmentationDataset):
         from .._native import open_rgb
 
         img = open_rgb(self.images[index], lazy=self.mode == "train")
-        mask = Image.open(self.masks[index])
+        from ..cache import open_mask
+
+        mask = open_mask(self.masks[index])
         img_t, mask_t = self.transform_pair(img, mask, index)
         return img_t, mask_t, os.path.basename(self.images[index])

@@ -80,8 +80,17 @@ class SegmentationDataset:
 
     # ----------------------------------------------------------- transforms
     def _img_transform(self, img: Image.Image) -> np.ndarray:
-        """PIL -> normalized float32 HWC."""
-        arr = np.asarray(img, np.float32) / 255.0
+        """PIL -> normalized float32 HWC. u8 RGB sources go through the
+        fused native pass (one pass vs numpy's four over a 24 MB
+        full-res image; bit-identical op order)."""
+        raw = np.asarray(img)
+        if raw.ndim == 3 and raw.shape[2] == 3 and raw.dtype == np.uint8:
+            from .._native import normalize_u8
+
+            out = normalize_u8(raw, self.mean, self.std)
+            if out is not None:
+                return out
+        arr = raw.astype(np.float32) / 255.0
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, -1)
         return (arr - self.mean) / self.std
@@ -94,10 +103,11 @@ class SegmentationDataset:
     ) -> Tuple[np.ndarray, np.ndarray]:
         rng = rng if rng is not None else self._rng
         from .._native import LazyJpeg, native_lib
+        from ..cache import CachedImage
 
         if native_lib() is not None:
             return self._sync_transform_native(img, mask, rng)
-        if isinstance(img, LazyJpeg):  # native lib raced away: decode fully
+        if isinstance(img, (LazyJpeg, CachedImage)):  # no native lib: PIL path
             img = img.to_pil()
         crop_size = self.crop_size
         # random mirror
@@ -195,6 +205,23 @@ class SegmentationDataset:
                 )
             if img_t is None:  # decode failure: eager full decode
                 img = img.to_pil()
+        from ..cache import CachedImage
+
+        if img_t is None and isinstance(img, CachedImage):
+            # decoded-cache hit: resample reads only the crop's source
+            # row window — slice those rows off the memmap (page-cache
+            # reads) exactly like the DCT-scaled JPEG window, except the
+            # source is the full-resolution decode so pixels are
+            # bit-identical to the eager path.
+            row_lo, row_hi = resample_row_window(
+                img.h, oh, y1, min(y1 + crop_size, oh)
+            )
+            if row_hi > row_lo:
+                win = np.ascontiguousarray(img.arr[row_lo:row_hi])
+                img_t = train_augment(
+                    win, flip, (oh, ow), (y1, x1), crop_size, blur_sigma,
+                    self.mean, self.std, src_y0=row_lo, sh_full=img.h,
+                )
         if img_t is None:
             arr = np.asarray(img.convert("RGB"), np.uint8)
             img_t = train_augment(
@@ -242,6 +269,10 @@ class SegmentationDataset:
             img_t = fused_resize_normalize(arr, (oh, ow), self.mean, self.std)
             mask_t = resize_nearest_i32(self._mask_transform(mask), (oh, ow))
         else:
+            from ..cache import CachedImage
+
+            if isinstance(img, CachedImage):
+                img = img.to_pil()
             img_r = img.resize((ow, oh), Image.BILINEAR)
             img_t = self._img_transform(img_r)
             mask_t = self._mask_transform(mask.resize((ow, oh), Image.NEAREST))

@@ -53,7 +53,9 @@ class JpegDirSegmentation(SegmentationDataset):
         img = open_rgb(
             os.path.join(self.root, name), lazy=self.mode == "train"
         )
-        mask = Image.open(
+        from segmentron_tpu.data.cache import open_mask
+
+        mask = open_mask(
             os.path.join(self.root, name.replace("img", "mask").replace(".jpg", ".png"))
         )
         img_t, mask_t = self.transform_pair(img, mask, index)
@@ -76,6 +78,24 @@ def make_dataset_dir(n: int, size=(2048, 1024)) -> str:
         mask = np.kron(mask, np.ones((64, 64), np.uint8))[: size[1], : size[0]]
         Image.fromarray(mask).save(os.path.join(d, f"mask_{i:03d}.png"))
     return d
+
+
+def bench_epochs(dataset, batch_size, workers, epochs=2):
+    """Per-epoch img/s — separates the cache-populate epoch (cold) from
+    the memmap-served epochs (warm)."""
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=dataset.mode == "train",
+        num_workers=workers, prefetch=0,
+    )
+    rates = []
+    for ep in range(epochs):
+        loader.set_epoch(ep)
+        n = 0
+        t0 = time.time()
+        for batch in loader:
+            n += batch["image"].shape[0]
+        rates.append(n / (time.time() - t0))
+    return rates
 
 
 def bench(dataset, batch_size, workers, epochs=2):
@@ -122,6 +142,32 @@ def main():
             "img_per_sec": round(ips, 2),
             "vs_chip_demand_73": round(ips / 73.0, 2),
         }))
+
+    # decoded-image disk cache (VERDICT r3 #4): epoch 1 populates, later
+    # epochs memory-map raw pixels off the page cache instead of
+    # decoding. Fresh cache dir per run so "cold" is honest.
+    import shutil
+    import tempfile as _tf
+
+    cache_dir = _tf.mkdtemp(prefix="segtron_decoded_cache_")
+    os.environ["SEGMENTRON_DECODED_CACHE"] = cache_dir
+    try:
+        for path, mode, bs in (("train", "train", 8), ("testval", "testval", 1)):
+            ds = JpegDirSegmentation(
+                root, "train" if mode == "train" else "val", mode,
+                base_size=1024, crop_size=crop,
+            )
+            cold, warm = bench_epochs(ds, batch_size=bs, workers=4, epochs=2)
+            demand = 38.9 if mode == "train" else 73.0
+            print(json.dumps({
+                "path": f"{path}+decoded_cache", "workers": 4,
+                "cold_img_per_sec": round(cold, 2),
+                "warm_img_per_sec": round(warm, 2),
+                "warm_vs_chip_demand": round(warm / demand, 2),
+            }))
+    finally:
+        os.environ.pop("SEGMENTRON_DECODED_CACHE", None)
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
