@@ -130,10 +130,12 @@ def main():
     cfg.SOLVER.AUX = False
     cfg.TRAIN.SYNC_BATCH_NORM = False
     if model_name == "danet":
-        # config #5a backbone settings (multi-grid layer4)
+        # config #5a backbone settings (multi-grid layer4; MAP_MG=0
+        # A/Bs the plain-dilation layer4 the model-zoo config uses)
         cfg.MODEL.MODEL_NAME = "DANet"
-        cfg.MODEL.DANET.MULTI_GRID = True
-        cfg.MODEL.DANET.MULTI_DILATION = [4, 8, 16]
+        if os.environ.get("MAP_MG", "1") != "0":
+            cfg.MODEL.DANET.MULTI_GRID = True
+            cfg.MODEL.DANET.MULTI_DILATION = [4, 8, 16]
     else:
         cfg.MODEL.MODEL_NAME = "OCNet"
         cfg.MODEL.OCNet.OC_ARCH = "base"

@@ -20,6 +20,11 @@ remote compile through the relay; the persistent cache under
                 stride 16) + 1x1 classifier, CE at stride 16
   part_middle   entry + 16 middle blocks
   part_backbone full backbone (entry+middle+exit)
+  part_aspp     backbone + ASPP, classifier + CE at stride 16
+  part_decoder  backbone + ASPP + c1-proj/concat/decoder sepconvs,
+                classifier + CE at stride 4 (everything but the final
+                x4 logits resize + full-res CE: that slice = full -
+                part_decoder)
 
 Composable env knobs (apply to any mode): MAP_FWDONLY=1 times the
 train-mode forward+loss only (no grad/update — per-part fwd/bwd
@@ -84,6 +89,8 @@ def build_prefix_model(stages: str, nclass: int = 19):
 
     norm = norm_from_cfg(cfg)
 
+    full_backbone = stages in ("backbone", "aspp", "decoder")
+
     class XPrefix(nn.Module):
         @nn.compact
         def __call__(self, x, train: bool = True):
@@ -94,6 +101,7 @@ def build_prefix_model(stages: str, nclass: int = 19):
                     (128, 128, 128), 2, norm=norm, relu_first=False,
                     name="block1",
                 )(x, train)
+            c1 = x
             if stages not in ("stem", "block1"):
                 x = XceptionBlock((256, 256, 256), 2, norm=norm, name="block2")(
                     x, train
@@ -102,13 +110,13 @@ def build_prefix_model(stages: str, nclass: int = 19):
                 x = XceptionBlock((728, 728, 728), 2, norm=norm, name="block3")(
                     x, train
                 )
-            if stages in ("middle", "backbone"):
+            if stages in ("middle", "backbone", "aspp", "decoder"):
                 for i in range(16):
                     x = XceptionBlock(
                         (728, 728, 728), 1, skip_type="sum", norm=norm,
                         name=f"middle{i + 1}",
                     )(x, train)
-            if stages == "backbone":
+            if full_backbone:
                 x = XceptionBlock(
                     (728, 1024, 1024), 1, dilation=1, norm=norm, name="exit1"
                 )(x, train)
@@ -116,6 +124,27 @@ def build_prefix_model(stages: str, nclass: int = 19):
                     x = SeparableConv2d(
                         ch, 3, dilation=2, norm=norm, relu_first=False,
                         name=f"exit_sep{i + 1}",
+                    )(x, train)
+                    x = nn.relu(x)
+            if stages in ("aspp", "decoder"):
+                from segmentron_tpu.modules import ASPP
+                from segmentron_tpu.ops import resize_bilinear
+
+                x = ASPP(
+                    out_channels=256, atrous_rates=(6, 12, 18),
+                    separable=True, norm=norm, name="head",
+                )(x, train)
+            if stages == "decoder":
+                import jax.numpy as jnp
+
+                low = ConvBNReLU(48, 1, padding=0, norm=norm, name="c1_proj")(
+                    c1, train
+                )
+                x = resize_bilinear(x, low.shape[1:3], align_corners=True)
+                x = jnp.concatenate([x, low], axis=-1)
+                for i in range(2):
+                    x = SeparableConv2d(
+                        256, 3, norm=norm, relu_first=False, name=f"decoder{i}",
                     )(x, train)
                     x = nn.relu(x)
             x = conv2d(nclass, 1, 1, 0, name="classifier")(x)
@@ -173,7 +202,7 @@ def main():
     if mode.startswith("part_"):
         part = mode.split("_", 1)[1]
         model = build_prefix_model(part)
-        s = {"stem": 2, "block1": 4, "block2": 8}.get(part, 16)
+        s = {"stem": 2, "block1": 4, "block2": 8, "decoder": 4}.get(part, 16)
 
         def criterion(outputs, masks):
             return cross_entropy(outputs[0], masks[:, ::s, ::s])
