@@ -198,6 +198,10 @@ cfg.TPU.INT8_ACTIVATIONS = False  # static-int8 backbone inference
 #   BN statistics — no calibration pass. Eval-only; accuracy/perf
 #   deltas documented in BASELINE.md.
 cfg.TPU.INT8_K = 6.0  # BN-sigma multiple bounding the activation range
+cfg.TPU.INT8_RESNET = False  # int8 INTERIOR hops in ResNet bottlenecks
+#   (quantize fused into conv1's epilogue; conv2 3x3 + conv3 1x1 run
+#   s8 x s8 on the MXU; the residual/skip chain stays bf16 so quant
+#   noise never accumulates across blocks). Off until chip-A/B'd.
 cfg.TPU.INT8_CALIBRATE = False  # INTERNAL: set by engine/calibrate.py
 #   during the measured-amax calibration forward (f32 path + per-site
 #   |max| observation into the 'quant_amax' collection). Not a user knob.

@@ -62,15 +62,81 @@ class Bottleneck(nn.Module):
 
     expansion = 4
 
+    def _int8_interior(self, train: bool) -> bool:
+        """Static-int8 INTERIOR hops (``cfg.TPU.INT8_RESNET``): the
+        quantize fuses into conv1's folded-BN epilogue, conv2 (3x3,
+        ~53% of block FLOPs) and conv3 run s8 x s8 -> s32 on the MXU,
+        and the result dequantizes before the residual add so the skip
+        chain stays bf16 — quantization noise never accumulates across
+        the 33 blocks of a ResNet-101."""
+        from ...config import cfg
+
+        if train or self.is_initializing():
+            return False
+        if not bool(cfg.TPU.INT8_RESNET) or bool(cfg.TPU.INT8_CALIBRATE):
+            return False
+        return self.norm.bn_type in ("BN", "SyncBN", "FrozenBN")
+
+    def _int8_forward(self, x):
+        import jax.numpy as jnp
+
+        from ...config import cfg
+        from ...modules.basic import _SharedBN, _SharedKernel
+        from ...ops.quant import (
+            bn_amax, bn_folded_affine, qconv, quantize_static, site_amax,
+        )
+
+        k = float(cfg.TPU.INT8_K)
+        eps = self.norm.eps
+        f = self.features
+
+        # conv1 (1x1, bf16) with folded bn1 + relu + quantize epilogue
+        y = conv2d(f, 1, 1, 0, name="conv1")(x)
+        a1, c1 = bn_folded_affine(*_SharedBN(name="bn1")(f), eps)
+        y = jnp.maximum(y.astype(jnp.float32) * a1 + c1, 0.0)
+        q = quantize_static(y, site_amax(self, "bn1", bn_amax(a1, c1, k=k)))
+
+        # conv2 (3x3) + conv3 (1x1): s8 x s8 with fused fp32 epilogues
+        w2 = _SharedKernel((3, 3, f, f), name="conv2")()
+        a2, c2 = bn_folded_affine(*_SharedBN(name="bn2")(f), eps)
+        q = qconv(
+            q, w2, self.stride, None, self.dilation,
+            bn_affine=(a2, c2), relu=True,
+            out_amax=site_amax(self, "bn2", bn_amax(a2, c2, k=k)),
+        )
+        w3 = _SharedKernel((1, 1, f, f * 4), name="conv3")()
+        a3, c3 = bn_folded_affine(*_SharedBN(name="bn3")(f * 4), eps)
+        y = qconv(q, w3, 1, 0, bn_affine=(a3, c3), relu=False)
+
+        if self.use_downsample:
+            identity = conv2d(
+                f * 4, 1, self.stride, 0, name="downsample_conv"
+            )(x)
+            a_d, c_d = bn_folded_affine(
+                *_SharedBN(name="downsample_bn")(f * 4), eps
+            )
+            identity = identity.astype(jnp.float32) * a_d + c_d
+        else:
+            identity = x
+        return jnp.maximum(y + identity.astype(jnp.float32), 0.0).astype(
+            x.dtype
+        )
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self._int8_interior(train):
+            return self._int8_forward(x)
+        from ...ops.quant import observe_amax
+
         identity = x
         y = conv2d(self.features, 1, 1, 0, name="conv1")(x)
         y = self.norm.make("bn1")(y, use_running_average=not train)
         y = nn.relu(y)
+        observe_amax(self, "bn1", y)
         y = conv2d(self.features, 3, self.stride, None, self.dilation, name="conv2")(y)
         y = self.norm.make("bn2")(y, use_running_average=not train)
         y = nn.relu(y)
+        observe_amax(self, "bn2", y)
         y = conv2d(self.features * 4, 1, 1, 0, name="conv3")(y)
         y = self.norm.make("bn3")(y, use_running_average=not train)
         if self.use_downsample:

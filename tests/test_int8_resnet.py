@@ -1,0 +1,106 @@
+"""int8 interior hops in ResNet bottlenecks (``cfg.TPU.INT8_RESNET``):
+the quantized path must track the fp32 path within the 8-bit error
+budget on the same variables, and stay OFF in training / by default.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmentron_tpu.config import cfg
+from segmentron_tpu.models.backbones.resnet import Bottleneck, ResNet
+from segmentron_tpu.modules.batch_norm import NormConfig
+
+
+def _warm_stats(model, variables, x, steps=2):
+    """Run train-mode passes so batch_stats reflect real activation
+    statistics (the int8 ranges derive from them)."""
+    for _ in range(steps):
+        _, upd = model.apply(
+            variables, x, True, mutable=["batch_stats"]
+        )
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+    return variables
+
+
+@pytest.mark.parametrize("stride,dilation,downsample", [
+    (1, 1, False), (2, 1, True), (1, 2, True),
+])
+def test_bottleneck_int8_tracks_f32(fresh_cfg, rng, stride, dilation, downsample):
+    feats = 16
+    block = Bottleneck(
+        feats, stride=stride, dilation=dilation,
+        use_downsample=downsample, norm=NormConfig("BN"),
+    )
+    x = jnp.asarray(rng.randn(2, 16, 16, feats * 4).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    variables = _warm_stats(block, variables, x)
+
+    fresh_cfg.TPU.INT8_RESNET = False
+    ref = np.asarray(block.apply(variables, x, False))
+    fresh_cfg.TPU.INT8_RESNET = True
+    got = np.asarray(block.apply(variables, x, False))
+
+    assert got.shape == ref.shape
+    scale = max(1.0, np.abs(ref).max())
+    # two int8 convs in series: a few quantization steps of error
+    assert np.max(np.abs(got - ref)) <= 0.05 * scale, (
+        np.max(np.abs(got - ref)), scale)
+    # and it genuinely took the quantized path (outputs not identical)
+    assert not np.array_equal(got, ref)
+
+
+def test_tiny_resnet_int8_backbone_parity(fresh_cfg, rng):
+    model = ResNet(
+        block=Bottleneck, layers=(1, 1, 1, 1), output_stride=8,
+        norm=NormConfig("BN"),
+    )
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = _warm_stats(model, variables, x)
+
+    fresh_cfg.TPU.INT8_RESNET = False
+    ref = model.apply(variables, x, False)
+    fresh_cfg.TPU.INT8_RESNET = True
+    got = model.apply(variables, x, False)
+
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        assert g.shape == r.shape
+        denom = np.sqrt((r * r).mean()) + 1e-6
+        rel = np.sqrt(((g - r) ** 2).mean()) / denom
+        assert rel < 0.1, rel
+
+
+def test_int8_resnet_off_in_train_and_by_default(fresh_cfg, rng):
+    assert cfg.TPU.INT8_RESNET is False or fresh_cfg.TPU.INT8_RESNET is False
+    feats = 8
+    block = Bottleneck(feats, norm=NormConfig("BN"))
+    x = jnp.asarray(rng.randn(1, 8, 8, feats * 4).astype(np.float32))
+    variables = block.init(jax.random.PRNGKey(0), x)
+    fresh_cfg.TPU.INT8_RESNET = True
+    # train mode ignores the knob (BN batch stats need the f32 path)
+    out, _ = block.apply(variables, x, True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int8_resnet_grouped_with_pw_in_model(fresh_cfg, rng):
+    """Full model smoke: DeepLabV3+ on resnet50 with both int8 knobs on
+    (pw affects sepconv heads; INT8_RESNET the backbone)."""
+    from segmentron_tpu.models import get_segmentation_model
+
+    fresh_cfg.MODEL.MODEL_NAME = "DeepLabV3_Plus"
+    fresh_cfg.MODEL.BACKBONE = "resnet50"
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 16
+    fresh_cfg.DATASET.NAME = "cityscapes"
+    fresh_cfg.TRAIN.SYNC_BATCH_NORM = False
+    model = get_segmentation_model()
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fresh_cfg.TPU.INT8_RESNET = True
+    fresh_cfg.TPU.INT8_ACTIVATIONS = "pw"
+    out = model.apply(variables, x, False)
+    assert out[0].shape == (1, 64, 64, 19)
+    assert np.isfinite(np.asarray(out[0])).all()

@@ -82,7 +82,7 @@ def sweep(iters: int):
             def run(q, k, v, n, _bq=bq, _bk=bk):
                 def body(i, acc):
                     qq = q + (0.0 * acc).astype(q.dtype)
-                    out = _attention_pallas(
+                    out, _lse = _attention_pallas(
                         qq, k, v, 1.0, block_q=_bq, block_k=_bk
                     )
                     return acc + out.mean().astype(jnp.float32)
@@ -139,6 +139,10 @@ def main():
     else:
         cfg.MODEL.MODEL_NAME = "OCNet"
         cfg.MODEL.OCNet.OC_ARCH = "base"
+
+    if os.environ.get("MAP_INT8", "0") == "1":
+        # int8 interior hops in the ResNet bottlenecks (TPU.INT8_RESNET)
+        cfg.TPU.INT8_RESNET = True
 
     if part == "backbone":
         from segmentron_tpu.models.backbones import get_segmentation_backbone
