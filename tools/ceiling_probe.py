@@ -1,0 +1,288 @@
+"""Definitive compute-ceiling probe with TRUE chained data dependence.
+
+Motivation (round 4): the r2 "measured ceilings" (67.7 TFLOPs bf16 /
+80.3 TOPS int8, BASELINE.md "Corrected roofline") came from a 4096^3
+fori-loop chain, but r4's attn_map measured a ResNet-101-OS8 backbone
+@1024x2048 (XLA cost-analysis 2.82 TFLOP) at 23.84 ms == 118 effective
+TFLOPs, ABOVE that ceiling. One of the two is wrong, and every
+roofline verdict in BASELINE.md depends on which. r3 already proved the
+r2 HBM ceiling was low (389 -> 598.8 GB/s measured); this probe settles
+the matmul side the same way.
+
+Every chain here threads the loop-carried value through the NEXT
+iteration's *operand values* (a = f(a @ b)), so no algebraic
+simplification, CSE, or loop-invariant code motion can hoist the body
+— unlike the `x + 0.0*acc` perturbation, which relies on XLA not
+folding float 0*x. Scalar readback stops the clock (block_until_ready
+does not block through the relay).
+
+Modes (CP_MODE):
+  matmul         bf16 n^3 chains, n in {2048, 4096, 8192}
+  matmul_f32acc  same with preferred_element_type=f32 + cast back
+                 (the r2 probe's likely shape)
+  int8           s8 x s8 -> s32 chains, low-byte feedback
+  conv           3x3x512x512 bf16 conv chain @ (8,96,96,512)
+  backbone       resnet101 OS8 @1024x2048 b1 eval forward, input-chained
+                 (cross-checks tools/attn_map.py's param-perturb number)
+
+Reference: SURVEY.md section 6 perf baselines; BASELINE.md r2 roofline.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[ceiling +{time.time() - T0:8.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def wait_for_backend():
+    for _ in range(30):
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:
+            log(f"backend unavailable ({e}); retry in 60s")
+            time.sleep(60)
+    raise RuntimeError("backend never came up")
+
+
+def _time_chain(run, args, iters):
+    """warm (compiles), then time `iters` chained iterations."""
+    warm = float(np.asarray(run(*args, 1)))
+    assert np.isfinite(warm), warm
+    t0 = time.perf_counter()
+    out = float(np.asarray(run(*args, iters)))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out), out
+    return dt / iters
+
+
+def matmul_chain(f32acc: bool):
+    results = {}
+    for n in (2048, 4096, 8192):
+        rs = np.random.RandomState(0)
+        a = jnp.asarray(rs.randn(n, n), jnp.bfloat16)
+        b = jnp.asarray(rs.randn(n, n), jnp.bfloat16)
+        scale = jnp.bfloat16(1.0 / np.sqrt(n))
+
+        @jax.jit
+        def run(a, b, iters, _f32=f32acc):
+            def body(i, aa):
+                if _f32:
+                    c = jax.lax.dot(aa, b, preferred_element_type=jnp.float32)
+                    return (c * scale.astype(jnp.float32)).astype(jnp.bfloat16)
+                return jax.lax.dot(aa, b) * scale
+
+            out = jax.lax.fori_loop(0, iters, body, a)
+            return out[0, 0].astype(jnp.float32)
+
+        iters = max(10, int(4e12 / (2 * n**3)))
+        sec = _time_chain(run, (a, b), iters)
+        tflops = 2 * n**3 / sec / 1e12
+        results[n] = round(tflops, 1)
+        log(f"n={n}: {sec*1e6:.0f} us/iter = {tflops:.1f} TFLOPs")
+    print(
+        json.dumps(
+            {"tool": "ceiling", "mode": "matmul_f32acc" if f32acc else "matmul",
+             "tflops": results}
+        ),
+        flush=True,
+    )
+
+
+def matmul_rect():
+    """Conv-shaped rectangular dots: is the 49-TF conv ceiling the MXU's
+    shape behavior or XLA's conv lowering? (M,K,N) cases:
+    - (73728, 4608, 512): the ceil_conv 3x3x512x512 im2col equivalent
+    - (73728, 512, 512): its pointwise counterpart
+    - (18432, 728, 728): flagship middle-flow pointwise
+    - (18432, 6552, 728): middle-flow 3x3 if it were im2col
+    """
+    results = {}
+    for m, k, n in (
+        (73728, 4608, 512),
+        (73728, 512, 512),
+        (18432, 728, 728),
+        (18432, 6552, 728),
+    ):
+        rs = np.random.RandomState(0)
+        a = jnp.asarray(rs.randn(m, k), jnp.bfloat16)
+        b = jnp.asarray(rs.randn(k, n), jnp.bfloat16)
+        scale = jnp.bfloat16(1.0 / np.sqrt(k))
+
+        @jax.jit
+        def run(a, b, iters):
+            def body(i, bb):
+                c = jax.lax.dot(a, bb) * scale
+                # mean keeps every element of c live (no dead-code
+                # slicing of the dot); feeding it back through the
+                # small operand keeps chain traffic negligible
+                return bb + c.mean().astype(bb.dtype) * jnp.bfloat16(1e-30)
+
+            out = jax.lax.fori_loop(0, iters, body, b)
+            return out[0, 0].astype(jnp.float32)
+
+        flop = 2 * m * k * n
+        iters = max(10, int(4e12 / flop))
+        sec = _time_chain(run, (a, b), iters)
+        tflops = flop / sec / 1e12
+        results[f"{m}x{k}x{n}"] = round(tflops, 1)
+        log(f"{m}x{k}x{n}: {sec*1e6:.0f} us/iter = {tflops:.1f} TFLOPs")
+    print(
+        json.dumps({"tool": "ceiling", "mode": "matmul_rect", "tflops": results}),
+        flush=True,
+    )
+
+
+def int8_chain():
+    results = {}
+    for n in (2048, 4096, 8192):
+        rs = np.random.RandomState(0)
+        a = jnp.asarray(rs.randint(-127, 127, (n, n)), jnp.int8)
+        b = jnp.asarray(rs.randint(-127, 127, (n, n)), jnp.int8)
+
+        @jax.jit
+        def run(a, b, iters):
+            def body(i, aa):
+                c = jax.lax.dot(aa, b, preferred_element_type=jnp.int32)
+                # low-byte feedback keeps true dependence, bounded values
+                return (c & 127).astype(jnp.int8)
+
+            out = jax.lax.fori_loop(0, iters, body, a)
+            return out[0, 0].astype(jnp.float32)
+
+        iters = max(10, int(4e12 / (2 * n**3)))
+        sec = _time_chain(run, (a, b), iters)
+        tops = 2 * n**3 / sec / 1e12
+        results[n] = round(tops, 1)
+        log(f"n={n}: {sec*1e6:.0f} us/iter = {tops:.1f} TOPS")
+    print(json.dumps({"tool": "ceiling", "mode": "int8", "tops": results}), flush=True)
+
+
+def conv_chain():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(8, 96, 96, 512), jnp.bfloat16)
+    w = jnp.asarray(rs.randn(3, 3, 512, 512) * 0.02, jnp.bfloat16)
+
+    @jax.jit
+    def run(x, w, iters):
+        def body(i, xx):
+            y = jax.lax.conv_general_dilated(
+                xx, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y * jnp.bfloat16(1.0 / 68.0)
+
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return out[0, 0, 0, 0].astype(jnp.float32)
+
+    flop = 2 * 8 * 96 * 96 * 512 * 512 * 9
+    iters = max(10, int(4e12 / flop))
+    sec = _time_chain(run, (x, w), iters)
+    tflops = flop / sec / 1e12
+    log(f"conv 3x3x512x512 @8x96x96: {sec*1e3:.2f} ms/iter = {tflops:.1f} TFLOPs")
+    print(
+        json.dumps({"tool": "ceiling", "mode": "conv", "tflops": round(tflops, 1)}),
+        flush=True,
+    )
+
+
+def backbone_chain():
+    """resnet101 OS8 @1024x2048 b1, input-carried TRUE dependence.
+
+    Pallas-free graph, so input-carried is the serving-faithful harness
+    (BASELINE.md "Harness correction"); the 1e-30 feedback is a real
+    data dependence that bf16 addition rounds away (no numeric drift).
+    """
+    from segmentron_tpu.config import cfg
+    from segmentron_tpu.models.backbones import get_segmentation_backbone
+    from segmentron_tpu.modules.batch_norm import norm_from_cfg
+    from segmentron_tpu.utils.compileopts import tpu_compiler_options
+
+    cfg.defrost()
+    cfg.MODEL.BACKBONE = "resnet101"
+    cfg.MODEL.OUTPUT_STRIDE = 8
+    cfg.TRAIN.SYNC_BATCH_NORM = False
+
+    module = get_segmentation_backbone("resnet101", norm_from_cfg(cfg))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(module.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+        )
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        dict(variables),
+    )
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    x = jax.device_put(jnp.zeros((1, 1024, 2048, 3), jnp.bfloat16), dev)
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+    def run(v, x, iters):
+        def body(i, xx):
+            out = module.apply(v, xx, False)[-1]
+            eps = out.mean().astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+            return xx + eps
+
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return out[0, 0, 0, 0].astype(jnp.float32)
+
+    iters = int(os.environ.get("CP_ITERS", 20))
+    log("compiling backbone chain (remote compile may take minutes)")
+    sec = _time_chain(run, (variables, x), iters)
+    log(f"backbone chain: {sec*1e3:.2f} ms/iter")
+    print(
+        json.dumps(
+            {"tool": "ceiling", "mode": "backbone", "h": 1024, "w": 2048,
+             "ms_per_iter": round(sec * 1e3, 2),
+             "img_per_s": round(1.0 / sec, 2)}
+        ),
+        flush=True,
+    )
+
+
+def main():
+    wait_for_backend()
+    mode = os.environ.get("CP_MODE", "matmul")
+    if mode == "matmul":
+        matmul_chain(False)
+    elif mode == "matmul_f32acc":
+        matmul_chain(True)
+    elif mode == "matmul_rect":
+        matmul_rect()
+    elif mode == "int8":
+        int8_chain()
+    elif mode == "conv":
+        conv_chain()
+    elif mode == "backbone":
+        backbone_chain()
+    else:
+        raise SystemExit(f"unknown CP_MODE={mode}")
+
+
+if __name__ == "__main__":
+    main()

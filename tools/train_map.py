@@ -26,9 +26,18 @@ remote compile through the relay; the persistent cache under
                 x4 logits resize + full-res CE: that slice = full -
                 part_decoder)
 
+  part_null     1x1 stride-2 conv classifier directly on the input +
+                CE at stride 2 — measures the HARNESS FLOOR (casts,
+                state plumbing, CE at the stem's pixel count, update
+                machinery) that every part_* number includes
+
 Composable env knobs (apply to any mode): MAP_FWDONLY=1 times the
 train-mode forward+loss only (no grad/update — per-part fwd/bwd
-split); MAP_BN=frozen forces FrozenBN (per-part BN-training cost).
+split); MAP_BN=frozen forces FrozenBN (per-part BN-training cost);
+MAP_WBLOCK=0 disables the W-blocked stem conv (its backward has never
+been measured in isolation); MAP_NOCE=1 replaces the CE loss with a
+logits-mean (isolates the loss pipeline); MAP_NOUPDATE=1 stops after
+grads (sum of squared leaves readback; isolates optimizer+state I/O).
   frozen        full model, FrozenBN everywhere (the delta vs `full`
                 is the whole BN-training cost: stats fwd + stats bwd)
   remat_dots    full step, jax.checkpoint dots policy
@@ -90,6 +99,14 @@ def build_prefix_model(stages: str, nclass: int = 19):
     norm = norm_from_cfg(cfg)
 
     full_backbone = stages in ("backbone", "aspp", "decoder")
+
+    class XNull(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            return (conv2d(nclass, 1, 2, 0, name="classifier")(x),)
+
+    if stages == "null":
+        return XNull()
 
     class XPrefix(nn.Module):
         @nn.compact
@@ -185,6 +202,8 @@ def main():
         cfg.TPU.REMAT = "dots"
     elif mode == "remat_full":
         cfg.TPU.REMAT = "full"
+    if os.environ.get("MAP_WBLOCK", "1") == "0":
+        cfg.TPU.STEM_WBLOCK = False
 
     # backend must be up BEFORE model construction (norm downgrade
     # reads jax.device_count(); see bench.py)
@@ -202,7 +221,9 @@ def main():
     if mode.startswith("part_"):
         part = mode.split("_", 1)[1]
         model = build_prefix_model(part)
-        s = {"stem": 2, "block1": 4, "block2": 8, "decoder": 4}.get(part, 16)
+        s = {"null": 2, "stem": 2, "block1": 4, "block2": 8, "decoder": 4}.get(
+            part, 16
+        )
 
         def criterion(outputs, masks):
             return cross_entropy(outputs[0], masks[:, ::s, ::s])
@@ -216,6 +237,10 @@ def main():
             aux_weight=cfg.SOLVER.AUX_WEIGHT,
             loss_name=cfg.SOLVER.LOSS_NAME,
         )
+
+    if os.environ.get("MAP_NOCE", "0") == "1":
+        def criterion(outputs, masks):  # noqa: F811
+            return jnp.mean(outputs[0]).astype(jnp.float32)
 
     log(f"mode={mode} crop={crop} batch={batch}; init on CPU")
     cpu = jax.devices("cpu")[0]
@@ -239,6 +264,123 @@ def main():
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
 
     fwdonly = os.environ.get("MAP_FWDONLY", "0") == "1"
+    noupdate = os.environ.get("MAP_NOUPDATE", "0") == "1"
+    if noupdate and not fwdonly and os.environ.get("MAP_COST", "0") != "1":
+        # fwd+bwd, NO optimizer/state update: isolates the
+        # optimizer+state-I/O slice. Chained via a true (1e-30-scaled)
+        # perturbation of the stem kernel — not a foldable 0*acc.
+        from segmentron_tpu.engine.steps import _cast_floats
+
+        def gloss(params, batch_stats, imgs, msks, rng):
+            p = _cast_floats(params, half)
+            out, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs.astype(half), True,
+                mutable=["batch_stats"], rngs={"dropout": rng},
+            )
+            return criterion(out, msks)
+
+        def run(st, imgs, msks, n):
+            def body(i, acc):
+                params = jax.tree_util.tree_map(lambda a: a, st.params)
+                node = params
+                path = (
+                    ("classifier", "kernel")
+                    if mode == "part_null"
+                    else ("conv1", "conv", "kernel")
+                    if mode.startswith("part_")
+                    else ("backbone", "conv1", "conv", "kernel")
+                )
+                for k in path[:-1]:
+                    node = node[k]
+                node[path[-1]] = node[path[-1]] + (1e-30 * acc).astype(
+                    node[path[-1]].dtype
+                )
+                g = jax.grad(gloss)(
+                    params, st.batch_stats, imgs, msks, st.rng
+                )
+                sq = sum(
+                    jnp.sum(jnp.square(x.astype(jnp.float32)))
+                    for x in jax.tree_util.tree_leaves(g)
+                )
+                return acc + sq
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        timed = jax.jit(
+            jax.shard_map(
+                run, mesh=mesh, in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P(), check_vma=False,
+            ),
+            compiler_options=tpu_compiler_options(),
+        )
+        log("compiling (remote compile may take many minutes)")
+        v0 = float(np.asarray(timed(state, images, masks, 1)))
+        assert np.isfinite(v0), v0
+        log(f"compiled (warm gradsq {v0:.4f}); timing")
+        t0 = time.perf_counter()
+        v1 = float(np.asarray(timed(state, images, masks, iters)))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(v1), v1
+        ms = dt / iters * 1000.0
+        print(
+            json.dumps(
+                {
+                    "tool": "train_map", "mode": mode, "noupdate": True,
+                    "bn": str(cfg.MODEL.BN_TYPE), "crop": crop,
+                    "batch": batch, "iters": iters,
+                    "ms_per_step": round(ms, 2),
+                    "img_per_s": round(iters * batch / dt, 2),
+                }
+            ),
+            flush=True,
+        )
+        return
+    if os.environ.get("MAP_COST", "0") == "1":
+        # Host-side XLA cost analysis of ONE step (run with
+        # JAX_PLATFORMS=cpu): per-part FLOP counts for roofline floors.
+        # Bytes-accessed is NOT printed — r3 proved it grossly
+        # overcounts HBM traffic (BASELINE.md HRNet pass).
+        step = make_train_step(
+            model, criterion, tx, mesh, compute_dtype=half,
+            remat=str(cfg.TPU.REMAT),
+        )
+
+        def one(st, imgs, msks):
+            if fwdonly:
+                from segmentron_tpu.engine.steps import _cast_floats
+
+                p = _cast_floats(st.params, half)
+                out, _ = model.apply(
+                    {"params": p, "batch_stats": st.batch_stats},
+                    imgs.astype(half), True,
+                    mutable=["batch_stats"], rngs={"dropout": st.rng},
+                )
+                return criterion(out, msks)
+            return step.raw(st, imgs, msks)[1]
+
+        lowered = jax.jit(
+            jax.shard_map(
+                one, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+                out_specs=P(), check_vma=False,
+            )
+        ).lower(state, images, masks)
+        ca = lowered.compile().cost_analysis()
+        print(
+            json.dumps(
+                {
+                    "tool": "train_map",
+                    "mode": mode,
+                    "fwdonly": fwdonly,
+                    "cost": True,
+                    "crop": crop,
+                    "batch": batch,
+                    "gflop": round(float(ca.get("flops", 0.0)) / 1e9, 1),
+                }
+            ),
+            flush=True,
+        )
+        return
     if mode in ("fwd", "fwd_eval") or fwdonly:
         train_flag = mode != "fwd_eval"
 
@@ -266,7 +408,9 @@ def main():
                 params = jax.tree_util.tree_map(lambda a: a, st.params)
                 node = params
                 path = (
-                    ("conv1", "conv", "kernel")
+                    ("classifier", "kernel")
+                    if mode == "part_null"
+                    else ("conv1", "conv", "kernel")
                     if mode.startswith("part_")
                     else ("backbone", "conv1", "conv", "kernel")
                 )
