@@ -67,6 +67,10 @@ def wait_for_backend():
     raise RuntimeError("backend never came up")
 
 
+def _target():
+    return float(os.environ.get("CP_TARGET", 4e12))
+
+
 def _time_chain(run, args, iters):
     """warm (compiles), then time `iters` chained iterations."""
     warm = float(np.asarray(run(*args, 1)))
@@ -97,7 +101,7 @@ def matmul_chain(f32acc: bool):
             out = jax.lax.fori_loop(0, iters, body, a)
             return out[0, 0].astype(jnp.float32)
 
-        iters = max(10, int(4e12 / (2 * n**3)))
+        iters = max(2, int(_target() / (2 * n**3)))
         sec = _time_chain(run, (a, b), iters)
         tflops = 2 * n**3 / sec / 1e12
         results[n] = round(tflops, 1)
@@ -144,13 +148,194 @@ def matmul_rect():
             return out[0, 0].astype(jnp.float32)
 
         flop = 2 * m * k * n
-        iters = max(10, int(4e12 / flop))
+        iters = max(2, int(_target() / flop))
         sec = _time_chain(run, (a, b), iters)
         tflops = flop / sec / 1e12
         results[f"{m}x{k}x{n}"] = round(tflops, 1)
         log(f"{m}x{k}x{n}: {sec*1e6:.0f} us/iter = {tflops:.1f} TFLOPs")
     print(
         json.dumps({"tool": "ceiling", "mode": "matmul_rect", "tflops": results}),
+        flush=True,
+    )
+
+
+def int8_rect():
+    """int8 dots at the framework's real pointwise shapes — at 188 TOPS
+    square the int8 pw path's 62-TOPS r2 measurement may be shape-bound
+    the same way bf16 is."""
+    results = {}
+    for m, k, n in (
+        (18432, 728, 728),
+        (73728, 512, 512),
+        (18432, 1536, 1536),
+    ):
+        rs = np.random.RandomState(0)
+        a = jnp.asarray(rs.randint(-127, 127, (m, k)), jnp.int8)
+        b = jnp.asarray(rs.randint(-127, 127, (k, n)), jnp.int8)
+
+        @jax.jit
+        def run(a, b, iters):
+            def body(i, bb):
+                c = jax.lax.dot(a, bb, preferred_element_type=jnp.int32)
+                s = (c.sum() & 1).astype(jnp.int8)
+                return bb + s  # true dependence, all elements live
+
+            out = jax.lax.fori_loop(0, iters, body, b)
+            return out[0, 0].astype(jnp.float32)
+
+        flop = 2 * m * k * n
+        iters = max(2, int(_target() / flop))
+        sec = _time_chain(run, (a, b), iters)
+        tops = flop / sec / 1e12
+        results[f"{m}x{k}x{n}"] = round(tops, 1)
+        log(f"{m}x{k}x{n}: {sec*1e6:.0f} us/iter = {tops:.1f} TOPS")
+    print(
+        json.dumps({"tool": "ceiling", "mode": "int8_rect", "tops": results}),
+        flush=True,
+    )
+
+
+def pw_conv_vs_dot():
+    """Same 1x1 conv computed via conv_general_dilated vs reshape+dot,
+    bf16 and int8, at the flagship middle-flow shape (1,64,128,728) —
+    if the dot path is faster, qconv/pointwise get a reshape fast path."""
+    results = {}
+    n, h, w_, c = 1, 64, 128, 728
+    rs = np.random.RandomState(0)
+    flop = 2 * n * h * w_ * c * c
+    for dtype, acc_t in ((jnp.bfloat16, None), (jnp.int8, jnp.int32)):
+        if dtype == jnp.int8:
+            x = jnp.asarray(rs.randint(-127, 127, (n, h, w_, c)), dtype)
+            k = jnp.asarray(rs.randint(-127, 127, (1, 1, c, c)), dtype)
+        else:
+            x = jnp.asarray(rs.randn(n, h, w_, c), dtype)
+            k = jnp.asarray(rs.randn(1, 1, c, c) * 0.03, dtype)
+
+        @jax.jit
+        def run_conv(x, k, iters, _acc=acc_t, _dt=dtype):
+            def body(i, kk):
+                y = jax.lax.conv_general_dilated(
+                    x, kk, (1, 1), [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    **({"preferred_element_type": _acc} if _acc else {}),
+                )
+                if _dt == jnp.int8:
+                    s = (y.sum() & 1).astype(_dt)
+                else:
+                    s = y.mean().astype(_dt) * jnp.asarray(1e-30, _dt)
+                return kk + s
+
+            out = jax.lax.fori_loop(0, iters, body, k)
+            return out[0, 0, 0, 0].astype(jnp.float32)
+
+        @jax.jit
+        def run_dot(x, k, iters, _acc=acc_t, _dt=dtype):
+            x2 = x.reshape(n * h * w_, c)
+
+            def body(i, kk):
+                y = jax.lax.dot(
+                    x2, kk.reshape(c, c),
+                    **({"preferred_element_type": _acc} if _acc else {}),
+                )
+                if _dt == jnp.int8:
+                    s = (y.sum() & 1).astype(_dt)
+                else:
+                    s = y.mean().astype(_dt) * jnp.asarray(1e-30, _dt)
+                return kk + s
+
+            out = jax.lax.fori_loop(0, iters, body, k)
+            return out[0, 0, 0, 0].astype(jnp.float32)
+
+        iters = max(2, int(_target() / flop))
+        for name, fn in (("conv", run_conv), ("dot", run_dot)):
+            sec = _time_chain(fn, (x, k), iters)
+            eff = flop / sec / 1e12
+            key = f"{np.dtype(dtype).name}_{name}"
+            results[key] = {"us": round(sec * 1e6, 1), "tops": round(eff, 1)}
+            log(f"{key}: {sec*1e6:.1f} us = {eff:.1f} T")
+    print(
+        json.dumps({"tool": "ceiling", "mode": "pw_conv_vs_dot", "r": results}),
+        flush=True,
+    )
+
+
+def pallas_dot():
+    """Minimal Mosaic matmul at the middle-flow pointwise shape: can a
+    pallas kernel reach the MXU's int8/bf16 rate at M=8192, K=N=728
+    (and at the 768-padded variant)? De-risks the fused middle-flow
+    kernel plan before building it."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    results = {}
+    m = 8192
+    bm = 1024
+    for dtype_name, c in (
+        ("int8", 728), ("int8", 768), ("bf16", 728), ("bf16", 768),
+    ):
+        dtype = jnp.int8 if dtype_name == "int8" else jnp.bfloat16
+        rs = np.random.RandomState(0)
+        if dtype == jnp.int8:
+            x = jnp.asarray(rs.randint(-127, 127, (m, c)), dtype)
+            w = jnp.asarray(rs.randint(-8, 8, (c, c)), dtype)
+        else:
+            x = jnp.asarray(rs.randn(m, c), dtype)
+            w = jnp.asarray(rs.randn(c, c) * 0.03, dtype)
+
+        def kern(x_ref, w_ref, o_ref, _dt=dtype):
+            acc = jax.lax.dot_general(
+                x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+                if _dt == jnp.int8 else jnp.float32,
+            )
+            if _dt == jnp.int8:
+                o_ref[...] = (acc >> 7).astype(jnp.int8)
+            else:
+                o_ref[...] = acc.astype(jnp.bfloat16)
+
+        call = pl.pallas_call(
+            kern,
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, c), dtype),
+        )
+
+        @jax.jit
+        def run(x, w, iters, _call=call, _dt=dtype):
+            def body(i, ww):
+                o = _call(x, ww)
+                if _dt == jnp.int8:
+                    s = (o.astype(jnp.int32).sum() & 1).astype(_dt)
+                else:
+                    s = o.mean().astype(_dt) * jnp.asarray(1e-30, _dt)
+                return ww + s
+
+            out = jax.lax.fori_loop(0, iters, body, w)
+            return out[0, 0].astype(jnp.float32)
+
+        flop = 2 * m * c * c
+        iters = max(2, int(_target() / flop))
+        try:
+            sec = _time_chain(run, (x, w), iters)
+            eff = flop / sec / 1e12
+            results[f"{dtype_name}_{c}"] = {
+                "us": round(sec * 1e6, 1), "tops": round(eff, 1)
+            }
+            log(f"{dtype_name} c={c}: {sec*1e6:.1f} us = {eff:.1f} T")
+        except Exception as e:
+            results[f"{dtype_name}_{c}"] = f"fail: {type(e).__name__}"
+            log(f"{dtype_name} c={c}: FAILED {e}")
+    print(
+        json.dumps({"tool": "ceiling", "mode": "pallas_dot", "r": results}),
         flush=True,
     )
 
@@ -172,7 +357,7 @@ def int8_chain():
             out = jax.lax.fori_loop(0, iters, body, a)
             return out[0, 0].astype(jnp.float32)
 
-        iters = max(10, int(4e12 / (2 * n**3)))
+        iters = max(2, int(_target() / (2 * n**3)))
         sec = _time_chain(run, (a, b), iters)
         tops = 2 * n**3 / sec / 1e12
         results[n] = round(tops, 1)
@@ -198,7 +383,7 @@ def conv_chain():
         return out[0, 0, 0, 0].astype(jnp.float32)
 
     flop = 2 * 8 * 96 * 96 * 512 * 512 * 9
-    iters = max(10, int(4e12 / flop))
+    iters = max(2, int(_target() / flop))
     sec = _time_chain(run, (x, w), iters)
     tflops = flop / sec / 1e12
     log(f"conv 3x3x512x512 @8x96x96: {sec*1e3:.2f} ms/iter = {tflops:.1f} TFLOPs")
@@ -276,6 +461,12 @@ def main():
         matmul_rect()
     elif mode == "int8":
         int8_chain()
+    elif mode == "int8_rect":
+        int8_rect()
+    elif mode == "pw_conv_vs_dot":
+        pw_conv_vs_dot()
+    elif mode == "pallas_dot":
+        pallas_dot()
     elif mode == "conv":
         conv_chain()
     elif mode == "backbone":
