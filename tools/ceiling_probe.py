@@ -366,29 +366,42 @@ def int8_chain():
 
 
 def conv_chain():
-    rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.randn(8, 96, 96, 512), jnp.bfloat16)
-    w = jnp.asarray(rs.randn(3, 3, 512, 512) * 0.02, jnp.bfloat16)
+    """3x3 bf16 conv chains across shapes. The original (8,96,96,512)
+    measured 49 TF while the resnet101-OS8 backbone runs ~118 eff TF
+    in-context with XLA convs — sweep W (tiling multiples), batch and C
+    to find what the conv lowering actually keys on."""
+    results = {}
+    for shape in (
+        (8, 96, 96, 512),    # original probe: W not a 128 multiple
+        (1, 128, 256, 512),  # resnet-like OS8 full-res geometry
+        (8, 128, 128, 512),  # batch + aligned W
+        (1, 64, 128, 728),   # middle-flow geometry, dense
+    ):
+        n, h, w_, c = shape
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(*shape), jnp.bfloat16)
+        w = jnp.asarray(rs.randn(3, 3, c, c) * 0.02, jnp.bfloat16)
 
-    @jax.jit
-    def run(x, w, iters):
-        def body(i, xx):
-            y = jax.lax.conv_general_dilated(
-                xx, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            return y * jnp.bfloat16(1.0 / 68.0)
+        @jax.jit
+        def run(x, w, iters):
+            def body(i, xx):
+                y = jax.lax.conv_general_dilated(
+                    xx, w, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                return y * jnp.bfloat16(1.0 / 68.0)
 
-        out = jax.lax.fori_loop(0, iters, body, x)
-        return out[0, 0, 0, 0].astype(jnp.float32)
+            out = jax.lax.fori_loop(0, iters, body, x)
+            return out[0, 0, 0, 0].astype(jnp.float32)
 
-    flop = 2 * 8 * 96 * 96 * 512 * 512 * 9
-    iters = max(2, int(_target() / flop))
-    sec = _time_chain(run, (x, w), iters)
-    tflops = flop / sec / 1e12
-    log(f"conv 3x3x512x512 @8x96x96: {sec*1e3:.2f} ms/iter = {tflops:.1f} TFLOPs")
+        flop = 2 * n * h * w_ * c * c * 9
+        iters = max(2, int(_target() / flop))
+        sec = _time_chain(run, (x, w), iters)
+        tflops = flop / sec / 1e12
+        results["x".join(map(str, shape))] = round(tflops, 1)
+        log(f"conv3x3 @{shape}: {sec*1e3:.2f} ms/iter = {tflops:.1f} TFLOPs")
     print(
-        json.dumps({"tool": "ceiling", "mode": "conv", "tflops": round(tflops, 1)}),
+        json.dumps({"tool": "ceiling", "mode": "conv", "tflops": results}),
         flush=True,
     )
 
