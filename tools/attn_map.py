@@ -64,8 +64,17 @@ def wait_for_backend():
 
 
 def sweep(iters: int):
-    """block_q x block_k grid for the flash kernel at P=32768."""
-    from segmentron_tpu.ops.attention import _attention_pallas
+    """block_q x block_k grid for the flash kernel at P=32768, plus an
+    XLA full-affinity einsum reference at the same geometry.
+
+    Harness note: the original sweep perturbed q with `q + 0.0*acc`
+    (input-carried) and measured ≥65 ms/call — ~4x the whole in-model
+    DANet head delta (18.4 ms), i.e. the known input-carried+pallas
+    relayout phantom (BASELINE.md "Harness correction"). This version
+    chains through a tiny feedback into k (true dependence, 4 MB
+    operand) and cross-checks against the XLA path.
+    """
+    from segmentron_tpu.ops.attention import _attention_pallas, _attention_xla
 
     p = int(os.environ.get("ATTN_P", 32768))
     dk = int(os.environ.get("ATTN_DK", 64))
@@ -75,31 +84,43 @@ def sweep(iters: int):
     k = jnp.asarray(rs.randn(1, p, dk), jnp.bfloat16)
     v = jnp.asarray(rs.randn(1, p, dv), jnp.bfloat16)
     results = {}
+
+    def timed(make_out):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run(q, k, v, n):
+            def body(i, kk):
+                out = make_out(q, kk, v)
+                return kk + out.mean().astype(kk.dtype) * jnp.bfloat16(1e-30)
+
+            kk = jax.lax.fori_loop(0, n, body, k)
+            return kk[0, 0, 0].astype(jnp.float32)
+
+        warm = float(run(q, k, v, 1))
+        assert np.isfinite(warm)
+        t0 = time.perf_counter()
+        float(run(q, k, v, iters))
+        return (time.perf_counter() - t0) / iters * 1000.0
+
     for bq in (256, 512, 1024):
         for bk in (512, 1024, 2048):
-
-            @functools.partial(jax.jit, static_argnums=(3,))
-            def run(q, k, v, n, _bq=bq, _bk=bk):
-                def body(i, acc):
-                    qq = q + (0.0 * acc).astype(q.dtype)
-                    out, _lse = _attention_pallas(
-                        qq, k, v, 1.0, block_q=_bq, block_k=_bk
-                    )
-                    return acc + out.mean().astype(jnp.float32)
-
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
             try:
-                warm = float(run(q, k, v, 1))
-                assert np.isfinite(warm)
-                t0 = time.perf_counter()
-                float(run(q, k, v, iters))
-                ms = (time.perf_counter() - t0) / iters * 1000.0
+                ms = timed(
+                    lambda q, kk, v, _bq=bq, _bk=bk: _attention_pallas(
+                        q, kk, v, 1.0, block_q=_bq, block_k=_bk
+                    )[0]
+                )
                 results[f"{bq}x{bk}"] = round(ms, 3)
                 log(f"bq={bq} bk={bk}: {ms:.3f} ms")
             except Exception as e:  # compile-time VMEM OOM etc.
                 results[f"{bq}x{bk}"] = f"fail: {type(e).__name__}"
                 log(f"bq={bq} bk={bk}: FAILED {e}")
+    try:
+        ms = timed(lambda q, kk, v: _attention_xla(q, kk, v, 1.0))
+        results["xla"] = round(ms, 3)
+        log(f"xla einsum: {ms:.3f} ms")
+    except Exception as e:  # HBM OOM at large P
+        results["xla"] = f"fail: {type(e).__name__}"
+        log(f"xla einsum FAILED: {e}")
     print(
         json.dumps(
             {"tool": "attn_map", "mode": "sweep", "p": p, "dk": dk, "dv": dv,
