@@ -75,6 +75,13 @@ class Bottleneck(nn.Module):
             return False
         if not bool(cfg.TPU.INT8_RESNET) or bool(cfg.TPU.INT8_CALIBRATE):
             return False
+        if self.dilation >= 8:
+            # XLA's dilated int8 conv lowering is a regression at large
+            # rates (same family as the r2 int8-depthwise finding):
+            # DANet multi-grid layer4 (d=8/16/32) measured 81.6 ms
+            # int8 vs 69.5 bf16 @1024x2048, while plain-dilation OCNet
+            # (d<=4) gains 12%. Keep multi-grid blocks bf16.
+            return False
         return self.norm.bn_type in ("BN", "SyncBN", "FrozenBN")
 
     def _int8_forward(self, x):
