@@ -201,8 +201,23 @@ def main():
     variables = jax.device_put(variables, dev)
     x = jax.device_put(jnp.zeros((1, h, w, 3), jnp.bfloat16), dev)
 
+    chained = os.environ.get("MAP_CHAIN", "0") == "1"
+
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def timed(v, images, n):
+        if chained:
+            # TRUE input-carried dependence (ceiling_probe::backbone
+            # form): out feeds the next iteration's image by a 1e-30
+            # nudge bf16 rounds away. Cross-checks the 0*acc perturb
+            # on pallas-bearing graphs.
+            def body(i, xx):
+                out = forward(v, xx)
+                eps = out.mean().astype(xx.dtype) * jnp.asarray(1e-30, xx.dtype)
+                return xx + eps
+
+            xx = jax.lax.fori_loop(0, n, body, images)
+            return xx[0, 0, 0, 0].astype(jnp.float32)
+
         def body(i, carry):
             acc, eps = carry
             vp = jax.tree.map(lambda a: a, v)
@@ -228,6 +243,7 @@ def main():
     print(
         json.dumps(
             {"tool": "attn_map", "mode": mode, "h": h, "w": w, "iters": iters,
+             "chain": chained,
              "ms_per_iter": round(ms, 2), "img_per_s": round(iters / dt, 2)}
         ),
         flush=True,
