@@ -463,6 +463,67 @@ def backbone_chain():
     )
 
 
+def flagship_chain():
+    """Flagship inference (DeepLabv3+/Xception-65 @1024x2048 b1, bench
+    defaults: int8-pw + fused stem+block1 pallas entry), input-chained
+    TRUE dependence — cross-checks bench.py's param-perturb harness on
+    a PALLAS-BEARING graph (ceil_backbone only validated it pallas-free).
+    Caveat: input-chaining a pallas graph costs a known relayout copy
+    per iteration (BASELINE.md r2 "Harness correction"), so this is an
+    UPPER bound on the true per-iter time; bench must be within
+    [this - relayout, this]."""
+    from segmentron_tpu.config import cfg
+    from segmentron_tpu.models import get_segmentation_model
+    from segmentron_tpu.utils.compileopts import tpu_compiler_options
+
+    cfg.defrost()
+    cfg.DATASET.NAME = "cityscapes"
+    cfg.MODEL.MODEL_NAME = "DeepLabV3_Plus"
+    cfg.MODEL.BACKBONE = "xception65"
+    cfg.MODEL.OUTPUT_STRIDE = 16
+    cfg.SOLVER.AUX = False
+    cfg.TRAIN.SYNC_BATCH_NORM = False
+
+    module = get_segmentation_model()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(module.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+        )
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        dict(variables),
+    )
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    x = jax.device_put(jnp.zeros((1, 1024, 2048, 3), jnp.bfloat16), dev)
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+    def run(v, x, iters):
+        def body(i, xx):
+            out = module.apply(v, xx, False)[0]
+            eps = out.mean().astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
+            return xx + eps
+
+        out = jax.lax.fori_loop(0, iters, body, x)
+        return out[0, 0, 0, 0].astype(jnp.float32)
+
+    iters = int(os.environ.get("CP_ITERS", 30))
+    log("compiling flagship chain (remote compile may take many minutes)")
+    sec = _time_chain(run, (variables, x), iters)
+    log(f"flagship chain: {sec*1e3:.2f} ms/iter")
+    print(
+        json.dumps(
+            {"tool": "ceiling", "mode": "flagship", "h": 1024, "w": 2048,
+             "ms_per_iter": round(sec * 1e3, 2),
+             "img_per_s": round(1.0 / sec, 2)}
+        ),
+        flush=True,
+    )
+
+
 def main():
     wait_for_backend()
     mode = os.environ.get("CP_MODE", "matmul")
@@ -484,6 +545,8 @@ def main():
         conv_chain()
     elif mode == "backbone":
         backbone_chain()
+    elif mode == "flagship":
+        flagship_chain()
     else:
         raise SystemExit(f"unknown CP_MODE={mode}")
 
