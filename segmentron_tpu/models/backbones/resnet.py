@@ -34,12 +34,74 @@ class BasicBlock(nn.Module):
 
     expansion = 1
 
+    def _int8_interior(self, train: bool) -> bool:
+        """conv2-only int8 hop (``cfg.TPU.INT8_RESNET``), mirroring
+        ``Bottleneck._int8_interior``: quantize fuses into bn1's
+        folded epilogue, conv2 (50% of block FLOPs) runs s8 x s8, the
+        residual chain stays bf16. BasicBlock is what HRNet's branches
+        are made of, so this covers config #4 as well as resnet18/34."""
+        from ...config import cfg
+
+        if train or self.is_initializing():
+            return False
+        if not bool(cfg.TPU.INT8_RESNET) or bool(cfg.TPU.INT8_CALIBRATE):
+            return False
+        if self.previous_dilation >= 8:
+            # dilated int8 conv lowering regresses at large rates (see
+            # Bottleneck gate / BASELINE.md r4 DANet multi-grid A/B)
+            return False
+        return self.norm.bn_type in ("BN", "SyncBN", "FrozenBN")
+
+    def _int8_forward(self, x):
+        import jax.numpy as jnp
+
+        from ...config import cfg
+        from ...modules.basic import _SharedBN, _SharedKernel
+        from ...ops.quant import (
+            bn_amax, bn_folded_affine, qconv, quantize_static, site_amax,
+        )
+
+        k = float(cfg.TPU.INT8_K)
+        eps = self.norm.eps
+        f = self.features
+
+        y = conv2d(f, 3, self.stride, None, self.dilation, name="conv1")(x)
+        a1, c1 = bn_folded_affine(*_SharedBN(name="bn1")(f), eps)
+        y = jnp.maximum(y.astype(jnp.float32) * a1 + c1, 0.0)
+        q = quantize_static(y, site_amax(self, "bn1", bn_amax(a1, c1, k=k)))
+
+        w2 = _SharedKernel((3, 3, f, f), name="conv2")()
+        a2, c2 = bn_folded_affine(*_SharedBN(name="bn2")(f), eps)
+        y = qconv(
+            q, w2, 1, None, self.previous_dilation,
+            bn_affine=(a2, c2), relu=False,
+        )
+
+        if self.use_downsample:
+            identity = conv2d(
+                f, 1, self.stride, 0, name="downsample_conv"
+            )(x)
+            a_d, c_d = bn_folded_affine(
+                *_SharedBN(name="downsample_bn")(f), eps
+            )
+            identity = identity.astype(jnp.float32) * a_d + c_d
+        else:
+            identity = x
+        return jnp.maximum(y + identity.astype(jnp.float32), 0.0).astype(
+            x.dtype
+        )
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self._int8_interior(train):
+            return self._int8_forward(x)
+        from ...ops.quant import observe_amax
+
         identity = x
         y = conv2d(self.features, 3, self.stride, None, self.dilation, name="conv1")(x)
         y = self.norm.make("bn1")(y, use_running_average=not train)
         y = nn.relu(y)
+        observe_amax(self, "bn1", y)
         y = conv2d(self.features, 3, 1, None, self.previous_dilation, name="conv2")(y)
         y = self.norm.make("bn2")(y, use_running_average=not train)
         if self.use_downsample:

@@ -150,7 +150,12 @@ def main():
     cfg.MODEL.OUTPUT_STRIDE = 8
     cfg.SOLVER.AUX = False
     cfg.TRAIN.SYNC_BATCH_NORM = False
-    if model_name == "danet":
+    if model_name == "hrnet":
+        # config #4 (HRNet-W48 + OCR) — BasicBlock int8 A/B
+        cfg.MODEL.MODEL_NAME = "HRNet"
+        cfg.MODEL.BACKBONE = "hrnet_w48"
+        cfg.MODEL.HRNET.OCR.ENABLE = True
+    elif model_name == "danet":
         # config #5a backbone settings (multi-grid layer4; MAP_MG=0
         # A/Bs the plain-dilation layer4 the model-zoo config uses)
         cfg.MODEL.MODEL_NAME = "DANet"
@@ -180,7 +185,11 @@ def main():
         from segmentron_tpu.models import get_segmentation_model
 
         module = get_segmentation_model()
-        stem = ("params", "backbone", "conv1", "kernel")
+        stem = (
+            ("params", "backbone", "stem1", "conv", "kernel")
+            if model_name == "hrnet"
+            else ("params", "backbone", "conv1", "kernel")
+        )
 
         def forward(v, x):
             return module.apply(v, x, False)[0]
