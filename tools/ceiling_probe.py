@@ -463,6 +463,93 @@ def backbone_chain():
     )
 
 
+def bnstats():
+    """BN-train stat+normalize cost vs channel count at CONSTANT
+    element count — the lane-waste hypothesis test (profile r4: entry
+    tensors at C=32/64 are laid out with C on the 128-lane axis, so
+    every stats/elementwise op should waste 75%/50% of the VPU; if
+    measured cost is ~flat in C, the hypothesis is wrong and the
+    blocked-layout entry plan dies before any surgery)."""
+    results = {}
+    n, h = 8, 256
+    wc = 32768  # w*c per row — 67M elements, 134 MB bf16
+    for c in (32, 64, 128, 256):
+        w_ = wc // c
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(n, h, w_, c), jnp.bfloat16)
+        g = jnp.asarray(rs.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rs.randn(c), jnp.float32)
+
+        @jax.jit
+        def run(x, g, b, iters):
+            def body(i, xx):
+                xf = xx.astype(jnp.float32)
+                mean = xf.mean(axis=(0, 1, 2))
+                var = (xf * xf).mean(axis=(0, 1, 2)) - mean * mean
+                y = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * g + b
+                y = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+                return xx + y.mean().astype(jnp.bfloat16) * jnp.bfloat16(
+                    1e-30
+                )
+
+            out = jax.lax.fori_loop(0, iters, body, x)
+            return out[0, 0, 0, 0].astype(jnp.float32)
+
+        iters = 50
+        sec = _time_chain(run, (x, g, b), iters)
+        results[c] = round(sec * 1e3, 3)
+        log(f"C={c} (shape {n}x{h}x{w_}x{c}): {sec*1e3:.3f} ms/iter")
+    print(
+        json.dumps({"tool": "ceiling", "mode": "bnstats", "ms": results}),
+        flush=True,
+    )
+
+
+def dwred():
+    """dW-reduction (x^T @ dy, K=big spatial) cost vs channel widths at
+    constant FLOPs — the other train-tax slice from the r4 profile
+    (f32[1,1,128,128] dW fusions at 1.2 ms for 9.7 GFLOP = 8 eff TF).
+    If folding spatial into channels (K/2, 2*Cin, same Cout) speeds the
+    contraction, the blocked-layout entry also fixes dW."""
+    results = {}
+    for k, ci, co in (
+        (294912, 64, 128),   # block1 pw dW as-is
+        (147456, 128, 128),  # W-folded: half K, double Cin
+        (294912, 128, 128),  # 2x FLOPs control at full width
+        (294912, 32, 64),    # stem-conv2-like
+    ):
+        rs = np.random.RandomState(0)
+        xa = jnp.asarray(rs.randn(k, ci), jnp.bfloat16)
+        dy = jnp.asarray(rs.randn(k, co), jnp.bfloat16)
+
+        @jax.jit
+        def run(xa, dy, iters):
+            def body(i, dyy):
+                dw = jax.lax.dot_general(
+                    xa, dyy, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return dyy + dw.mean().astype(dyy.dtype) * jnp.bfloat16(
+                    1e-30
+                )
+
+            out = jax.lax.fori_loop(0, iters, body, dy)
+            return out[0, 0].astype(jnp.float32)
+
+        flop = 2 * k * ci * co
+        iters = 100
+        sec = _time_chain(run, (xa, dy), iters)
+        eff = flop / sec / 1e12
+        results[f"{k}x{ci}x{co}"] = {
+            "us": round(sec * 1e6, 1), "tflops": round(eff, 1)
+        }
+        log(f"K={k} Cin={ci} Cout={co}: {sec*1e6:.1f} us = {eff:.1f} TF")
+    print(
+        json.dumps({"tool": "ceiling", "mode": "dwred", "r": results}),
+        flush=True,
+    )
+
+
 def flagship_chain():
     """Flagship inference (DeepLabv3+/Xception-65 @1024x2048 b1, bench
     defaults: int8-pw + fused stem+block1 pallas entry), input-chained
@@ -547,6 +634,10 @@ def main():
         backbone_chain()
     elif mode == "flagship":
         flagship_chain()
+    elif mode == "bnstats":
+        bnstats()
+    elif mode == "dwred":
+        dwred()
     else:
         raise SystemExit(f"unknown CP_MODE={mode}")
 
