@@ -77,6 +77,7 @@ def main():
 
     steps = int(os.environ.get("PROF_STEPS", 3))
     prof_dir = os.environ.get("PROF_DIR", "/tmp/jaxprof")
+    infer = os.environ.get("PROF_MODE", "train") == "infer"
     crop = int(os.environ.get("MAP_CROP", 768))
     batch = int(os.environ.get("MAP_BATCH", 8))
 
@@ -86,7 +87,10 @@ def main():
     cfg.MODEL.BACKBONE = "xception65"
     cfg.MODEL.OUTPUT_STRIDE = 16
     cfg.SOLVER.AUX = False
-    cfg.TRAIN.SYNC_BATCH_NORM = True
+    cfg.TRAIN.SYNC_BATCH_NORM = not infer
+    if infer:
+        # bench-default serving graph: int8 pw + fused entry (defaults)
+        cfg.TPU.INT8_ACTIVATIONS = "pw"
 
     backend = None
     for _ in range(30):
@@ -117,26 +121,54 @@ def main():
             rng=jax.random.PRNGKey(1),
         )
     dev = jax.devices()[0]
-    state = jax.device_put(state, dev)
-    images = jax.device_put(jnp.full((batch, crop, crop, 3), 0.1, jnp.float32), dev)
-    masks = jax.device_put(jnp.zeros((batch, crop, crop), jnp.int32), dev)
-    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
-    step = make_train_step(model, criterion, tx, mesh, compute_dtype=half,
-                           donate=False)
-
-    log("warm step (compile)")
-    state2, loss = step(state, images, masks)
-    log(f"warm loss {float(np.asarray(loss)):.4f}; tracing {steps} steps")
-
     import shutil
 
-    shutil.rmtree(prof_dir, ignore_errors=True)
-    with jax.profiler.trace(prof_dir):
-        st = state
-        for _ in range(steps):
-            st, loss = step(st, images, masks)
-        lv = float(np.asarray(loss))
-    log(f"traced (loss {lv:.4f}); parsing")
+    if infer:
+        # serving graph @1024x2048 b1, bf16 params like bench.py
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            dict(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            ),
+        )
+        variables = jax.device_put(variables, dev)
+        x = jax.device_put(jnp.zeros((1, 1024, 2048, 3), jnp.bfloat16), dev)
+
+        @jax.jit
+        def fwd(v, x):
+            return model.apply(v, x, False)[0].mean().astype(jnp.float32)
+
+        log("warm inference (compile)")
+        v0 = float(np.asarray(fwd(variables, x)))
+        log(f"warm out {v0:.4f}; tracing {steps} iters")
+        shutil.rmtree(prof_dir, ignore_errors=True)
+        with jax.profiler.trace(prof_dir):
+            for _ in range(steps):
+                lv = float(np.asarray(fwd(variables, x)))
+        log(f"traced (out {lv:.4f}); parsing")
+    else:
+        state = jax.device_put(state, dev)
+        images = jax.device_put(
+            jnp.full((batch, crop, crop, 3), 0.1, jnp.float32), dev
+        )
+        masks = jax.device_put(jnp.zeros((batch, crop, crop), jnp.int32), dev)
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+        step = make_train_step(model, criterion, tx, mesh, compute_dtype=half,
+                               donate=False)
+
+        log("warm step (compile)")
+        state2, loss = step(state, images, masks)
+        log(f"warm loss {float(np.asarray(loss)):.4f}; tracing {steps} steps")
+
+        shutil.rmtree(prof_dir, ignore_errors=True)
+        with jax.profiler.trace(prof_dir):
+            st = state
+            for _ in range(steps):
+                st, loss = step(st, images, masks)
+            lv = float(np.asarray(loss))
+        log(f"traced (loss {lv:.4f}); parsing")
 
     files = sorted(glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
                              recursive=True))
