@@ -136,7 +136,13 @@ def main():
         variables = jax.device_put(variables, dev)
         x = jax.device_put(jnp.zeros((1, 1024, 2048, 3), jnp.bfloat16), dev)
 
-        @jax.jit
+        import functools
+
+        from segmentron_tpu.utils.compileopts import tpu_compiler_options
+
+        @functools.partial(
+            jax.jit, compiler_options=tpu_compiler_options()
+        )
         def fwd(v, x):
             return model.apply(v, x, False)[0].mean().astype(jnp.float32)
 
