@@ -201,7 +201,11 @@ cfg.TPU.INT8_K = 6.0  # BN-sigma multiple bounding the activation range
 cfg.TPU.INT8_RESNET = False  # int8 INTERIOR hops in ResNet bottlenecks
 #   (quantize fused into conv1's epilogue; conv2 3x3 + conv3 1x1 run
 #   s8 x s8 on the MXU; the residual/skip chain stays bf16 so quant
-#   noise never accumulates across blocks). Off until chip-A/B'd.
+#   noise never accumulates across blocks; auto-reverts to bf16 at
+#   dilation >= 8 where the dilated int8 lowering regresses). Chip-A/B'd
+#   in r4: OCNet 26.05 -> 28.97 img/s, DANet 23.43 -> 26.15 @1024x2048
+#   (BASELINE.md "Round-4 full-res attention component map"); default
+#   off globally, enabled by the serve_cityscapes_*_int8.yaml configs.
 cfg.TPU.INT8_CALIBRATE = False  # INTERNAL: set by engine/calibrate.py
 #   during the measured-amax calibration forward (f32 path + per-site
 #   |max| observation into the 'quant_amax' collection). Not a user knob.

@@ -330,8 +330,21 @@ def open_rgb(path: str, lazy: bool = False):
     cache = decoded_cache()
     if cache is not None:
         arr = cache.get(path)
-        if arr is not None and arr.ndim == 3 and arr.dtype == np.uint8:
+        # full hit validation (3-channel RGB) rather than an assert in
+        # CachedImage (stripped under -O): anything else — e.g. a
+        # corrupt/foreign RGBA entry — is treated as a miss and the
+        # source is decoded fresh.
+        if (
+            arr is not None
+            and arr.ndim == 3
+            and arr.shape[2] == 3
+            and arr.dtype == np.uint8
+        ):
             return CachedImage(arr)
+
+    # resolve the cache key BEFORE reading any source bytes so a file
+    # replaced mid-read cannot publish old pixels under the new key
+    cache_entry = cache.entry_for(path) if cache is not None else None
 
     if path.lower().endswith((".jpg", ".jpeg")):
         try:
@@ -358,13 +371,13 @@ def open_rgb(path: str, lazy: bool = False):
             arr = decode_jpeg(data)
             if arr is not None:
                 if cache is not None:
-                    cache.put(path, arr)
+                    cache.put(path, arr, entry=cache_entry)
                     return CachedImage(arr)
                 return Image.fromarray(arr)
     img = Image.open(path).convert("RGB")
     if cache is not None:
         arr = np.asarray(img, np.uint8)
-        cache.put(path, arr)
+        cache.put(path, arr, entry=cache_entry)
         return CachedImage(arr)
     return img
 

@@ -25,6 +25,15 @@ time, a good trade on any training host with local SSD.
 Storage format is plain ``.npy`` written atomically (tmp + rename), so
 a crashed writer can never publish a truncated entry and concurrent
 workers race benignly (last rename wins, both contents identical).
+
+Eviction: there is none built in. A re-written source file simply stops
+matching its old key (the stale ``.npy`` is orphaned, never read again),
+and no size bound is enforced — raw pixels run 5-10x the compressed
+sources, so long-lived caches over mutated datasets grow without limit.
+Operators should periodically sweep the directory (e.g.
+``find $SEGMENTRON_DECODED_CACHE -name '*.npy' -atime +30 -delete`` —
+entries are self-healing, a deleted entry just re-populates on the next
+miss) or wipe it wholesale between dataset versions.
 """
 
 from __future__ import annotations
@@ -76,7 +85,12 @@ class DecodedCache:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def _entry(self, path: str) -> Optional[str]:
+    def entry_for(self, path: str) -> Optional[str]:
+        """Resolve the cache-entry filename for ``path`` from its CURRENT
+        stat. Callers that decode should resolve this BEFORE reading the
+        source bytes and pass it to :meth:`put` — re-statting after the
+        decode would key the OLD pixels under a NEW size/mtime if the
+        file was replaced in between (a permanently stale hit)."""
         try:
             st = os.stat(path)
         except OSError:
@@ -90,7 +104,7 @@ class DecodedCache:
         """Cached decoded array for ``path`` (memory-mapped), or None.
         A stale entry (source re-written -> new mtime/size) simply never
         matches its key again; ``put`` writes the fresh one."""
-        entry = self._entry(path)
+        entry = self.entry_for(path)
         if entry is None or not os.path.exists(entry):
             return None
         try:
@@ -98,10 +112,17 @@ class DecodedCache:
         except Exception:
             return None
 
-    def put(self, path: str, arr: np.ndarray) -> None:
+    def put(self, path: str, arr: np.ndarray, entry: Optional[str] = None) -> None:
         """Best-effort: cache errors (disk full, races) never fail the
-        pipeline — the caller already holds the decoded array."""
-        entry = self._entry(path)
+        pipeline — the caller already holds the decoded array.
+
+        ``entry`` should be the :meth:`entry_for` result resolved before
+        the source bytes were read (see its docstring); falling back to
+        a fresh stat here is only safe when the caller read no bytes
+        from disk (e.g. pixels already in memory from a PIL object
+        opened at the same time)."""
+        if entry is None:
+            entry = self.entry_for(path)
         if entry is None:
             return
         tmp = f"{entry}.tmp.{os.getpid()}.{threading.get_ident()}"
@@ -159,9 +180,12 @@ def open_mask(path: str):
         arr = cache.get(path)
         if arr is not None and arr.ndim == 2 and arr.dtype == np.uint8:
             return Image.fromarray(np.asarray(arr))
+    # key resolved before PIL touches the file (PIL decodes lazily, so
+    # the actual byte reads happen inside np.asarray below)
+    entry = cache.entry_for(path) if cache is not None else None
     img = Image.open(path)
     if cache is not None:
         arr = np.asarray(img)
         if arr.ndim == 2 and arr.dtype == np.uint8:
-            cache.put(path, arr)
+            cache.put(path, arr, entry=entry)
     return img
