@@ -31,6 +31,11 @@ cfg.DATASET.WORKERS = 4
 # SEGMENTRON_DECODED_CACHE overrides)
 cfg.DATASET.DECODED_CACHE = ""
 cfg.DATASET.MODE = "testval"  # val-time transform mode: val | testval
+cfg.DATASET.DEVICE_CANVAS = ()  # (H, W) static source canvas for the
+#   on-device train augment (data/device_input.py): must cover every
+#   source image. Empty = use the dataset class's DEVICE_CANVAS
+#   (cityscapes: 1024x2048); datasets with neither fall back to the
+#   host augment.
 
 # ---------------------------------------------------------------- train
 cfg.TRAIN = SegmentronConfig()
@@ -179,6 +184,19 @@ cfg.TPU.MESH_AXES = ["data"]
 cfg.TPU.COMPUTE_DTYPE = "float32"  # float32 | bfloat16
 cfg.TPU.PREFETCH = 2  # host->device pipeline depth
 cfg.TPU.REMAT = "none"  # activation remat: none | dots | full
+cfg.TPU.DEVICE_AUGMENT = True  # run the train random scale/crop/flip/
+#   blur/normalize ON DEVICE (ops/preprocess.py): the loader ships raw
+#   uint8 source canvases and the host keeps only the decode + RNG
+#   draws. Identical augmentation stream (same per-sample draws);
+#   pixels match the fused native host augment to f32 summation order,
+#   masks bit-exactly (PIL-extracted nearest indices). Auto-falls back
+#   to the host path for datasets without a known DEVICE_CANVAS.
+#   Rationale: the r4 host feed measured 12.7 img/s warm vs the 63.9
+#   img/s step demand (VERDICT r4 #1).
+cfg.TPU.DEVICE_NORMALIZE = True  # testval/serving: ship raw uint8 and
+#   fold (x/255 - mean)/std into the jitted graph (identical to <=1-2
+#   ulp; removes the measured 24 MB/img host normalize pass and 4x
+#   relay traffic).
 cfg.TPU.USE_PALLAS = True  # blockwise Pallas attention (enables DANet/
 #   OCNet at resolutions where the (HW)^2 affinity cannot materialize)
 cfg.TPU.USE_PALLAS_SEPCONV = False  # fused sepconv kernels measured

@@ -36,6 +36,9 @@ _LUT = _build_lut()
 
 class CitySegmentation(SegmentationDataset):
     NUM_CLASS = 19
+    # every cityscapes source is 1024x2048 — the static canvas for the
+    # on-device augment path (data/device_input.py)
+    DEVICE_CANVAS = (1024, 2048)
 
     CLASSES = (
         "road", "sidewalk", "building", "wall", "fence", "pole",

@@ -50,6 +50,9 @@ class SegmentationDataset:
         self.std = np.asarray(cfg.DATASET.STD, np.float32)
         self._epoch = 0
         self._rng = random.Random(cfg.SEED)  # fallback when no index given
+        # device input pipeline (data/device_input.py): set by the
+        # Trainer/Evaluator when the transforms should run on device
+        self.device_input = None
 
     def set_epoch(self, epoch: int) -> None:
         """Advance the augmentation stream (called by the DataLoader)."""
@@ -155,27 +158,16 @@ class SegmentationDataset:
         geometry/decisions; numerics differ from PIL only by its u8
         rounding of the resized intermediate (we stay f32)."""
         from .._native import train_augment
+        from ..device_input import draw_train_params
 
         crop_size = self.crop_size
-        flip = rng.random() < 0.5
-        short_size = rng.randint(
-            int(self.base_size * 0.5), int(self.base_size * 2.0)
-        )
         w, h = img.size
-        if h > w:
-            ow = short_size
-            oh = int(1.0 * h * ow / w)
-        else:
-            oh = short_size
-            ow = int(1.0 * w * oh / h)
-        # padded dims (reference pads only below crop; above crop the
-        # max() is the identity)
+        # draws shared with the device-augment path so both consume the
+        # identical per-(seed, epoch, index) stream
+        flip, oh, ow, x1, y1, blur_sigma = draw_train_params(
+            rng, w, h, self.base_size, crop_size
+        )
         w2, h2 = max(ow, crop_size), max(oh, crop_size)
-        x1 = rng.randint(0, w2 - crop_size)
-        y1 = rng.randint(0, h2 - crop_size)
-        blur_sigma = 0.0
-        if rng.random() < 0.5:
-            blur_sigma = rng.random()  # PIL radius == gaussian sigma
 
         img_t = None
         from .._native import LazyJpeg, resample_row_window
@@ -281,15 +273,24 @@ class SegmentationDataset:
         return img_t, mask_t
 
     def _testval_transform(self, img, mask):
+        if self.device_input is not None and self.device_input.normalize_only:
+            # raw uint8 out; (x/255 - mean)/std runs in-graph
+            # (ops/preprocess.py::maybe_normalize) — identical to <=1-2
+            # ulp, none of the 24 MB/img host pass, 4x less relay traffic
+            return self.device_input.testval_image(img), self._mask_transform(mask)
         return self._img_transform(img), self._mask_transform(mask)
 
     def transform_pair(
         self, img: Image.Image, mask: Optional[Image.Image], index: Optional[int] = None
     ):
-        """Dispatch by mode; returns (image f32 HWC, mask int32 HW|None).
-        ``index`` keys the per-sample RNG for train augmentation."""
+        """Dispatch by mode; returns (image f32 HWC, mask int32 HW|None)
+        — or, in device-input train mode, (item dict, None) where the
+        dict carries the raw uint8 canvas + augmentation scalars for the
+        on-device transform. ``index`` keys the per-sample RNG."""
         if self.mode == "train":
-            rng = self.per_sample_rng(index) if index is not None else None
+            rng = self.per_sample_rng(index) if index is not None else self._rng
+            if self.device_input is not None and not self.device_input.normalize_only:
+                return self.device_input.build_train_item(self, img, mask, rng), None
             return self._sync_transform(img, mask, rng)
         if self.mode == "val":
             return self._val_sync_transform(img, mask)

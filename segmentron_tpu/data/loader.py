@@ -64,7 +64,21 @@ class DataLoader:
             for start in range(0, len(order), self.batch_size):
                 idxs = order[start : start + self.batch_size]
                 items = list(pool.map(self.dataset.__getitem__, idxs))
-                images = np.stack([it[0] for it in items]).astype(np.float32)
+                if isinstance(items[0][0], dict):
+                    # device-input train items: stack every key (raw
+                    # uint8 canvas, int16 mask, augmentation scalars)
+                    batch = {
+                        k: np.stack([it[0][k] for it in items])
+                        for k in items[0][0]
+                    }
+                    batch["name"] = [it[2] for it in items]
+                    yield batch
+                    continue
+                images = np.stack([it[0] for it in items])
+                if images.dtype != np.uint8:
+                    # host-normalized path ships f32; raw uint8 (device
+                    # normalize mode) ships as-is — 4x less transfer
+                    images = images.astype(np.float32)
                 batch = {"image": images}
                 if items[0][1] is not None:
                     batch["mask"] = np.stack([it[1] for it in items]).astype(np.int32)

@@ -186,11 +186,23 @@ class BucketedTTA:
         acc, cnt = jax.lax.fori_loop(0, pos.shape[0], body, (acc0, cnt0))
         return acc / jnp.maximum(cnt, 1.0)
 
-    def _body(self, variables, image, mask, aux, bucket):
+    def _body(self, variables, image, mask, aux, hw, bucket):
         bh, bw = bucket
         dims = self._scale_dims(bucket)
         total = jnp.zeros((bh, bw, self.nclass), jnp.float32)
         img = image[0] if image.ndim == 4 else image  # (bh, bw, 3)
+        if img.dtype == jnp.uint8:
+            # raw-uint8 loader mode: normalize in-graph, then re-zero
+            # the pad apron (the host f32 path pads with
+            # normalized-space zeros; u8 zero would normalize to
+            # (0-mean)/std). The true extent rides as data so one
+            # program per bucket still serves every image in it.
+            from ..ops.preprocess import maybe_normalize
+
+            img = maybe_normalize(img)
+            rows = jnp.arange(bh, dtype=jnp.int32)[:, None] < hw[0]
+            cols = jnp.arange(bw, dtype=jnp.int32)[None, :] < hw[1]
+            img = img * (rows & cols)[:, :, None].astype(jnp.float32)
         for s, (sbh, sbw, ph, pw, _), a in zip(self.scales, dims, aux):
             if s == 1.0:
                 scaled = img
@@ -261,13 +273,16 @@ class BucketedTTA:
         h, w = image_np.shape[:2]
         bucket = bucket_for(h, w, quant, self.crop)
         bh, bw = bucket
-        img = np.zeros((bh, bw, image_np.shape[-1]), np.float32)
+        # raw uint8 ships as-is (in-graph normalize); f32 as before
+        dt = np.uint8 if image_np.dtype == np.uint8 else np.float32
+        img = np.zeros((bh, bw, image_np.shape[-1]), dt)
         img[:h, :w] = image_np
         msk = np.full((bh, bw), -1, np.int32)
         msk[:h, :w] = mask_np
         aux = self.make_aux(h, w, bucket)
         return self._compiled(bucket)(
-            variables, jnp.asarray(img), jnp.asarray(msk), aux
+            variables, jnp.asarray(img), jnp.asarray(msk), aux,
+            jnp.asarray([h, w], np.int32),
         )
 
 

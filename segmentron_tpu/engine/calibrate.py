@@ -37,6 +37,9 @@ def calibrate_int8_amax(model, variables, batches: Iterable) -> dict:
     try:
         @jax.jit
         def observe(variables, images):
+            from ..ops.preprocess import maybe_normalize
+
+            images = maybe_normalize(images)  # raw-uint8 loader mode
             _, col = model.apply(
                 variables, images, False, mutable=["quant_amax"]
             )
@@ -70,9 +73,11 @@ def calibrate_int8_amax(model, variables, batches: Iterable) -> dict:
                 # program compiles exactly once, for batches 1..N.
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
+                    from ..ops.preprocess import maybe_normalize as _mn
+
                     col = jax.jit(
                         lambda v, im: model.apply(
-                            v, im, False, mutable=["quant_amax"]
+                            v, _mn(im), False, mutable=["quant_amax"]
                         )[1].get("quant_amax", {})
                     )(variables, jax.device_put(images, cpu))
                 if col:

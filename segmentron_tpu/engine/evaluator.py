@@ -37,6 +37,13 @@ class Evaluator:
             mode=cfg.DATASET.MODE,
             crop_size=cfg.TEST.CROP_SIZE or cfg.TRAIN.CROP_SIZE,
         )
+        if bool(cfg.TPU.DEVICE_NORMALIZE) and cfg.DATASET.MODE == "testval":
+            # whole-image eval ships raw uint8; (x/255 - mean)/std runs
+            # in-graph (<=1-2 ulp identical) — removes the measured host
+            # normalize bottleneck (BASELINE.md r4 testval feed)
+            from ..data.device_input import DeviceInput
+
+            self.dataset.device_input = DeviceInput(normalize_only=True)
         self.loader = DataLoader(
             self.dataset,
             batch_size=1 if cfg.DATASET.MODE == "testval" else cfg.TEST.BATCH_SIZE,

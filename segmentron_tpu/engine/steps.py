@@ -21,6 +21,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.preprocess import maybe_normalize
 from ..utils.compileopts import tpu_compiler_options
 from ..utils.score import confusion_matrix_update
 
@@ -76,9 +77,18 @@ def make_train_step(
     donate: bool = True,
     compute_dtype=None,
     remat: str = "none",
+    augment=None,
 ):
     """Build the jitted sharded train step: (state, images, masks) ->
     (state, loss).
+
+    With ``augment`` (an ``ops.preprocess.DeviceAugment``), the step
+    takes (state, batch_dict) instead — the dict carries raw uint8
+    source canvases plus per-sample geometry (data/device_input.py) and
+    the random scale/crop/flip/blur/normalize chain runs ON DEVICE
+    before the forward (VERDICT r4 #1: the host input path fed 12.7 of
+    the 63.9 img/s the step demands). Raw uint8 ``images`` without
+    ``augment`` are normalized in-graph (host did the geometry only).
 
     ``compute_dtype=bfloat16`` enables mixed precision — the TPU
     replacement for the reference's apex.amp: fp32 master params, bf16
@@ -114,7 +124,13 @@ def make_train_step(
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
 
-    def step_fn(state, images, masks):
+    def step_fn(state, *batch_args):
+        if augment is not None:
+            (batch,) = batch_args
+            images, masks = augment.apply(batch)
+        else:
+            images, masks = batch_args
+            images = maybe_normalize(images)
         rng = jax.random.fold_in(state.rng, state.step)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
@@ -155,10 +171,11 @@ def make_train_step(
             loss,
         )
 
+    in_specs = (P(), P(axis)) if augment is not None else (P(), P(axis), P(axis))
     sharded = jax.shard_map(
         step_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -180,6 +197,7 @@ def make_eval_step(
     mixed = half != jnp.float32
 
     def step_fn(params, batch_stats, images, masks):
+        images = maybe_normalize(images)
         if mixed:
             params = _cast_floats(params, half)
             images = images.astype(half)
@@ -234,6 +252,9 @@ def make_tta_eval_step(
         return model.apply(variables, images, False)[0].astype(jnp.float32)
 
     def step_fn(variables, images, masks):
+        # raw-uint8 loader mode: normalize BEFORE the TTA scale resizes,
+        # exactly where the host pipeline normalized
+        images = maybe_normalize(images)
         probs = _multi_scale_body(
             predict, variables, images, nclass, list(scales), bool(flip),
             int(crop_size) if crop_size else None, True,
@@ -261,6 +282,7 @@ def make_predict_fn(model, compute_dtype=None):
     mixed = half != jnp.float32
 
     def predict_body(variables, images):
+        images = maybe_normalize(images)
         if mixed:
             variables = dict(variables)
             variables["params"] = _cast_floats(variables["params"], half)

@@ -65,6 +65,36 @@ class Trainer:
         self.val_dataset = get_segmentation_dataset(
             cfg.DATASET.NAME, split="val", mode="val", **data_kwargs
         )
+        # on-device train augmentation (VERDICT r4 #1): host ships raw
+        # uint8 canvases, the jitted step does scale/crop/flip/blur/
+        # normalize. Needs a static source canvas; datasets without one
+        # keep the host augment.
+        self.device_augment = None
+        if bool(cfg.TPU.DEVICE_AUGMENT):
+            from ..data.device_input import DeviceInput, resolve_canvas
+            from ..ops.preprocess import DeviceAugment
+
+            canvas = resolve_canvas(self.train_dataset)
+            if canvas is not None:
+                self.train_dataset.device_input = DeviceInput(
+                    self.train_dataset, canvas=canvas
+                )
+                self.device_augment = DeviceAugment(
+                    crop=cfg.TRAIN.CROP_SIZE,
+                    mean=list(cfg.DATASET.MEAN),
+                    std=list(cfg.DATASET.STD),
+                    pad_label=self.train_dataset.device_input.pad_label,
+                )
+                self.logger.info(
+                    "Device input pipeline: train augment on device "
+                    "(canvas %dx%d)", canvas[0], canvas[1],
+                )
+            else:
+                self.logger.info(
+                    "TPU.DEVICE_AUGMENT set but dataset %s has no static "
+                    "canvas (set DATASET.DEVICE_CANVAS) — host augment",
+                    cfg.DATASET.NAME,
+                )
         self.train_loader = DataLoader(
             self.train_dataset,
             batch_size=cfg.TRAIN.BATCH_SIZE,
@@ -154,7 +184,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.criterion, self.tx, self.mesh,
             donate=bool(cfg.TPU.DONATE), compute_dtype=compute_dtype,
-            remat=str(cfg.TPU.REMAT),
+            remat=str(cfg.TPU.REMAT), augment=self.device_augment,
         )
         self.eval_step = make_eval_step(
             self.model, self.nclass, self.mesh, compute_dtype=compute_dtype
@@ -231,9 +261,13 @@ class Trainer:
                 ):
                     jax.profiler.start_trace(cfg.UTILS.PROFILE_DIR)
                     profiling = True
-                self.state, loss = self.train_step(
-                    self.state, batch["image"], batch["mask"]
-                )
+                if self.device_augment is not None:
+                    feed = {k: v for k, v in batch.items() if k != "name"}
+                    self.state, loss = self.train_step(self.state, feed)
+                else:
+                    self.state, loss = self.train_step(
+                        self.state, batch["image"], batch["mask"]
+                    )
                 if profiling and global_step >= prof_lo + prof_n - 1:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import resize_bilinear
+from ..ops.preprocess import maybe_normalize
 from ..utils.compileopts import tpu_compiler_options
 
 __all__ = ["predict_whole", "predict_sliding", "multi_scale_predict"]
@@ -86,6 +87,9 @@ def _sliding_fn(predict_id, h: int, w: int, ch: int, crop: int, stride: int,
 
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(variables, image):  # image (1, h, w, ch)
+        # raw-uint8 loader mode: normalize first (host order), so the
+        # zero pad below stays a normalized-space zero
+        image = maybe_normalize(image)
         return _sliding_body(predict_fn, variables, image, crop, stride, nclass)
 
     return run
@@ -180,6 +184,8 @@ def _ms_fn(predict_id, nclass, scales, flip, crop_size, align_corners):
 
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(variables, image):
+        # normalize raw uint8 BEFORE the scale resizes (host order)
+        image = maybe_normalize(image)
         return _multi_scale_body(
             predict_fn, variables, image, nclass, list(scales), flip,
             crop_size, align_corners,

@@ -112,6 +112,11 @@ class HRModule(nn.Module):
 class HRNet(nn.Module):
     spec_name: str = "hrnet_w18"
     norm: NormConfig = NormConfig()
+    # diagnostic truncation for tools/hrnet_map.py prefix bisection:
+    # "" = full network; "stem" | "stage1" | "stage2" | "stage3" return
+    # the branch pyramid right after that stage (module names are
+    # unchanged, so truncated params are a prefix of the full tree)
+    stop_stage: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple:
@@ -119,6 +124,8 @@ class HRNet(nn.Module):
 
         x = ConvBNReLU(64, 3, 2, norm=self.norm, name="stem1")(x, train)
         x = ConvBNReLU(64, 3, 2, norm=self.norm, name="stem2")(x, train)
+        if self.stop_stage == "stem":
+            return (x,)
 
         # stage 1 — single branch of bottlenecks
         n_mod, n_br, blk, n_blocks, n_ch = spec["stage1"]
@@ -133,6 +140,8 @@ class HRNet(nn.Module):
             )(x, train)
         xs = [x]
         prev_channels = [out_ch]
+        if self.stop_stage == "stage1":
+            return tuple(xs)
 
         for stage_idx, stage_key in enumerate(("stage2", "stage3", "stage4"), start=2):
             n_mod, n_br, blk, n_blocks, n_ch = spec[stage_key]
@@ -174,6 +183,8 @@ class HRNet(nn.Module):
                     name=f"{stage_key}_module{m}",
                 )(xs, train)
             prev_channels = stage_channels
+            if self.stop_stage == stage_key:
+                return tuple(xs)
 
         # (c1..c4) = the four-branch pyramid at strides 4/8/16/32
         return tuple(xs)

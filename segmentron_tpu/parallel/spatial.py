@@ -44,6 +44,9 @@ def make_spatial_predict_fn(
 
     @jax.jit
     def predict(variables, images):
+        from ..ops.preprocess import maybe_normalize
+
+        images = maybe_normalize(images)  # raw-uint8 loader mode
         images = jax.lax.with_sharding_constraint(images, img_sharding)
         return model.apply(variables, images, False)[0]
 

@@ -27,6 +27,10 @@ def main():
             (("--out-dir",), dict(default="runs/export")),
             (("--height",), dict(type=int, default=None)),
             (("--width",), dict(type=int, default=None)),
+            # raw-pixel serving entry: the graph takes uint8 NHWC and
+            # normalizes in-graph (true per-new-image throughput — no
+            # host normalize, no entry relayout; VERDICT r4 #2)
+            (("--uint8",), dict(action="store_true")),
         ]
     )
     if args.config_file:
@@ -45,6 +49,7 @@ def main():
         (1, h, w, 3),
         args.out_dir,
         compute_dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
+        input_dtype=jnp.uint8 if args.uint8 else None,
     )
     logger.info("Exported serving artifact to %s", out)
 

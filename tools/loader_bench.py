@@ -23,6 +23,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# LOADER_BENCH_CPU=1: measure the HOST pipeline only — device_put goes
+# to the local CPU backend (≈ memcpy) instead of through the axon
+# loopback relay, whose ~120 MB/s tunnel bandwidth is an artifact of
+# THIS container, not of a deployment TPU host (PCIe DMA runs GB/s).
+# The async relay puts also back up across epochs and poison per-epoch
+# rates (observed: a fully-cached u8 testval epoch measured 50 img/s
+# while the next epoch measured 2.8 — the backlog, not the host).
+if os.environ.get("LOADER_BENCH_CPU", "0") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 from PIL import Image
 
@@ -161,6 +173,40 @@ def main():
             demand = 38.9 if mode == "train" else 73.0
             print(json.dumps({
                 "path": f"{path}+decoded_cache", "workers": 4,
+                "cold_img_per_sec": round(cold, 2),
+                "warm_img_per_sec": round(warm, 2),
+                "warm_vs_chip_demand": round(warm / demand, 2),
+            }))
+
+        # device-input pipeline (VERDICT r4 #1): the host keeps only the
+        # decode (a memmap read on warm epochs) + RNG draws; augment and
+        # normalize run on device. The chip demand for the feed is the
+        # measured train step rate (63.9 img/s @768^2 b8, BASELINE.md).
+        # Fresh cache dir so the cold epoch is honestly cold.
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        os.makedirs(cache_dir, exist_ok=True)
+        from segmentron_tpu.data.device_input import DeviceInput
+
+        for path, mode, bs, demand in (
+            ("train", "train", 8, 63.9),
+            ("testval", "testval", 1, 73.0),
+        ):
+            # wipe per section: train and testval read the SAME source
+            # files here, so a shared cache would make the second
+            # section's "cold" epoch silently warm
+            shutil.rmtree(cache_dir, ignore_errors=True)
+            os.makedirs(cache_dir, exist_ok=True)
+            ds = JpegDirSegmentation(
+                root, "train" if mode == "train" else "val", mode,
+                base_size=1024, crop_size=crop,
+            )
+            if mode == "train":
+                ds.device_input = DeviceInput(ds, canvas=(1024, 2048))
+            else:
+                ds.device_input = DeviceInput(normalize_only=True)
+            cold, warm = bench_epochs(ds, batch_size=bs, workers=4, epochs=2)
+            print(json.dumps({
+                "path": f"{path}+device_input+decoded_cache", "workers": 4,
                 "cold_img_per_sec": round(cold, 2),
                 "warm_img_per_sec": round(warm, 2),
                 "warm_vs_chip_demand": round(warm / demand, 2),
