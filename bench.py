@@ -139,6 +139,11 @@ def bench_train():
     crop = int(os.environ.get("BENCH_TRAIN_CROP", 768))
     batch = int(os.environ.get("BENCH_BATCH", 8))
     half = jnp.bfloat16 if on_tpu else jnp.float32
+    # BENCH_AUG=1: run the ON-DEVICE augmentation train step (uint8
+    # 1024x2048 canvases in, scale/crop/flip/blur/normalize inside the
+    # step — VERDICT r4 #1). A/B against the default pre-cropped f32
+    # feed measures what the device pays to free the host.
+    device_aug = os.environ.get("BENCH_AUG", "0") == "1"
 
     log("initializing train state on CPU")
     cpu = jax.devices("cpu")[0]
@@ -156,48 +161,117 @@ def bench_train():
         )
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
-    images = jax.device_put(
-        jnp.full((batch, crop, crop, 3), 0.1, jnp.float32), dev
-    )
-    masks = jax.device_put(jnp.zeros((batch, crop, crop), jnp.int32), dev)
-    log(f"train state on {dev}, crops {images.shape}")
-
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+
+    augment = None
+    if device_aug:
+        import random as _random
+
+        from segmentron_tpu.data.device_input import (
+            draw_train_params, pil_nearest_indices,
+        )
+        from segmentron_tpu.ops.preprocess import DeviceAugment
+
+        # cityscapes source canvas (override for CPU smoke tests)
+        SH, SW = (
+            int(v) for v in os.environ.get("BENCH_AUG_CANVAS", "1024x2048").split("x")
+        )
+        rs = np.random.RandomState(0)
+        rng = _random.Random(0)
+        geoms, sigmas, row_sels, col_sels = [], [], [], []
+        for _ in range(batch):
+            flip, oh, ow, x1, y1, sig = draw_train_params(
+                rng, SW, SH, cfg.TRAIN.BASE_SIZE or 1024, crop
+            )
+            rowmap = pil_nearest_indices(SH, oh)
+            colmap = pil_nearest_indices(SW, ow)
+            rsel = np.full((crop,), -1, np.int32)
+            nr = max(min(crop, oh - y1), 0)
+            rsel[:nr] = rowmap[y1 : y1 + nr]
+            csel = np.full((crop,), -1, np.int32)
+            nc = max(min(crop, ow - x1), 0)
+            c = colmap[x1 : x1 + nc]
+            csel[:nc] = (SW - 1 - c) if flip else c
+            geoms.append([SH, SW, oh, ow, x1, y1, int(flip)])
+            sigmas.append(sig)
+            row_sels.append(rsel)
+            col_sels.append(csel)
+        feed = {
+            "image": rs.randint(0, 256, (batch, SH, SW, 3)).astype(np.uint8),
+            "mask": rs.randint(-1, 19, (batch, SH, SW)).astype(np.int16),
+            "aug_geom": np.asarray(geoms, np.int32),
+            "aug_sigma": np.asarray(sigmas, np.float32),
+            "row_sel": np.stack(row_sels),
+            "col_sel": np.stack(col_sels),
+        }
+        feed = {k: jax.device_put(v, dev) for k, v in feed.items()}
+        augment = DeviceAugment(
+            crop, list(cfg.DATASET.MEAN), list(cfg.DATASET.STD), -1
+        )
+        log(f"train state on {dev}, device-augment canvases "
+            f"{feed['image'].shape}")
+    else:
+        images = jax.device_put(
+            jnp.full((batch, crop, crop, 3), 0.1, jnp.float32), dev
+        )
+        masks = jax.device_put(jnp.zeros((batch, crop, crop), jnp.int32), dev)
+        log(f"train state on {dev}, crops {images.shape}")
+
     step = make_train_step(
         model, criterion, tx, mesh, compute_dtype=half,
-        remat=str(cfg.TPU.REMAT),
+        remat=str(cfg.TPU.REMAT), augment=augment,
     )
     raw = step.raw  # per-shard body; loop lives inside ONE program
 
-    def run(state, images, masks, n):
-        def body(i, carry):
-            st, _ = carry
-            return raw(st, images, masks)
-        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))[1]
+    if device_aug:
+        def run(state, feed, n):
+            def body(i, carry):
+                st, _ = carry
+                return raw(st, feed)
+            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))[1]
 
-    timed = jax.jit(
-        jax.shard_map(
-            run, mesh=mesh, in_specs=(P(), P("data"), P("data"), P()),
-            out_specs=P(), check_vma=False,
-        ),
-        compiler_options=tpu_compiler_options(),
-    )
+        timed = jax.jit(
+            jax.shard_map(
+                run, mesh=mesh, in_specs=(P(), P("data"), P()),
+                out_specs=P(), check_vma=False,
+            ),
+            compiler_options=tpu_compiler_options(),
+        )
+        args = (state, feed)
+    else:
+        def run(state, images, masks, n):
+            def body(i, carry):
+                st, _ = carry
+                return raw(st, images, masks)
+            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))[1]
+
+        timed = jax.jit(
+            jax.shard_map(
+                run, mesh=mesh, in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P(), check_vma=False,
+            ),
+            compiler_options=tpu_compiler_options(),
+        )
+        args = (state, images, masks)
 
     iters = int(os.environ.get("BENCH_ITERS", 10 if on_tpu else 1))
     log("compiling train loop (remote compile may take many minutes)")
-    l0 = float(np.asarray(timed(state, images, masks, 1)))
+    l0 = float(np.asarray(timed(*args, 1)))
     assert np.isfinite(l0), l0
     log(f"compiled (warm loss {l0:.4f}); timing")
     t0 = time.perf_counter()
-    l1 = float(np.asarray(timed(state, images, masks, iters)))
+    l1 = float(np.asarray(timed(*args, iters)))
     dt = time.perf_counter() - t0
     assert np.isfinite(l1), l1
     ips = iters * batch / dt
     log(f"{iters} steps in {dt:.3f}s")
+    metric = f"cityscapes_{crop}_deeplabv3plus_xception65_train"
+    if device_aug:
+        metric += "_devaug"
     print(
         json.dumps(
             {
-                "metric": f"cityscapes_{crop}_deeplabv3plus_xception65_train",
+                "metric": metric,
                 "value": round(float(ips), 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(float(ips) / NOMINAL_BASELINE_IPS, 4),

@@ -14,19 +14,40 @@ from .env import collect_env_info, seed_all_rng
 from .filesystem import makedirs
 from .logger import setup_logger
 
-__all__ = ["default_setup"]
+__all__ = ["default_setup", "maybe_initialize_distributed"]
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host rendezvous (reference: dist.init_process_group("nccl",
+    init_method="env://") — SURVEY §3.5). On TPU pods the coordinator is
+    discovered from the environment; single-host runs skip this
+    entirely. Explicit ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` beside
+    ``JAX_COORDINATOR_ADDRESS`` cover manual launches (the multi-process
+    CPU test, bare-metal pods without a cluster env). Returns True when
+    a process group was initialized.
+
+    Exercised end to end (2 processes x 4 CPU devices on localhost) by
+    ``tests/test_multihost.py``."""
+    if not (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    ):
+        return False
+    import jax
+
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
+        )
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def default_setup(args=None):
-    # Multi-host rendezvous (reference: dist.init_process_group("nccl",
-    # init_method="env://") — SURVEY §3.5). On TPU pods the coordinator
-    # is discovered from the environment; single-host runs skip this.
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
-        import jax
-
-        jax.distributed.initialize()
+    maybe_initialize_distributed()
     run_name = "_".join(
         x
         for x in (
