@@ -390,6 +390,10 @@ def convert_generic_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
             # scalar params keep their own name (DANet/OCNet attention
             # ``gamma`` residual weights; flax declares them 0-d too)
             put(params, scope, leaf, v)
+        elif leaf in ("codewords", "scale"):
+            # EncNet context-encoding codebook: flax declares the same
+            # (K, C) / (K,) layouts under the same names — verbatim copy
+            put(params, scope, leaf, v)
         else:
             raise ValueError(f"Unrecognized state_dict leaf: {key!r}")
     return {"params": params, "batch_stats": stats}

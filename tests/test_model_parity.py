@@ -343,3 +343,144 @@ def test_hrnet_ocr_full_model_parity(fresh_cfg):
         want = tm(_nchw(x))
     _assert_close(got[0], want[0], 1e-3, "ocr logits")
     _assert_close(got[1], want[1], 1e-3, "region (aux) logits")
+
+
+# ===================================== wave-2 zoo oracles (VERDICT r4 #6)
+def _split_resnet(tm, layers):
+    """state_dict -> converted {backbone, head} variables via the REAL
+    resnet import path + the generic head mapper (test_fcn pattern)."""
+    state = _state(tm)
+    bb_state = {k[len("backbone."):]: v for k, v in state.items()
+                if k.startswith("backbone.")}
+    head_state = {k: v for k, v in state.items()
+                  if not k.startswith("backbone.")}
+    bb_tree = convert_resnet_state(bb_state, layers)
+    head_tree = generic(head_state)
+    return {
+        "params": {"backbone": bb_tree["params"], **head_tree["params"]},
+        "batch_stats": {"backbone": bb_tree["batch_stats"],
+                        **head_tree["batch_stats"]},
+    }
+
+
+def test_fast_scnn_full_model_parity(fresh_cfg):
+    """Fast-SCNN: learning-to-downsample + inverted residuals + PPM +
+    FFM + aux — no backbone, everything through the generic mapper."""
+    from segmentron_tpu.models.fast_scnn import FastSCNN
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 6
+    tm = tr.randomize(tr.TorchFastSCNN(nclass, aux=True), seed=11)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = FastSCNN(nclass=nclass, backbone="", aux=True,
+                     encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(0).randn(1, 192, 192, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
+    _assert_close(got[1], want[1], 1e-3, "aux logits")
+
+
+def test_bisenet_full_model_parity(fresh_cfg):
+    """BiSeNet: spatial path + ARM/FFM context path over resnet18."""
+    from segmentron_tpu.models.bisenet import BiSeNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 5
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchBiSeNet(tbb, c3_ch=256, c4_ch=512, nclass=nclass, aux=True),
+        seed=12,
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = BiSeNet(nclass=nclass, backbone="resnet18", aux=True,
+                    encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(1).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    assert len(got) == len(want) == 3
+    for i, what in enumerate(("main", "aux3", "aux4")):
+        _assert_close(got[i], want[i], 1e-3, what)
+
+
+def test_icnet_full_model_parity(fresh_cfg):
+    """ICNet: cascade branches with the SHARED backbone run at 1/2 and
+    1/4 scale + PPM + two CFF fusions + cascade aux outputs."""
+    from segmentron_tpu.models.icnet import ICNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 4
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchICNet(tbb, c2_ch=128, c4_ch=512, nclass=nclass), seed=13
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = ICNet(nclass=nclass, backbone="resnet18", aux=False,
+                  encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(2).randn(1, 192, 192, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    for i, what in enumerate(("final", "aux /8", "aux /16")):
+        _assert_close(got[i], want[i], 1e-3, what)
+
+
+def test_encnet_full_model_parity(fresh_cfg):
+    """EncNet: context-encoding codebook (softmax assignment over
+    squared distances), SE gate, SE-loss presence logits, laterals."""
+    from segmentron_tpu.models.encnet import EncNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 5
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchEncNet(tbb, c2_ch=128, c3_ch=256, c4_ch=512, nclass=nclass,
+                       lateral=True, se_loss=True, aux=True),
+        seed=14,
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = EncNet(nclass=nclass, backbone="resnet18", aux=True,
+                   se_loss=True, lateral=True,
+                   encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(3).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
+    # SE presence logits are (b, nclass) — non-spatial compare
+    se_got, se_want = np.asarray(got[1]), want[1].numpy()
+    assert se_got.shape == se_want.shape
+    err = float(np.max(np.abs(se_got - se_want)))
+    assert err <= 1e-3 * max(1.0, float(np.abs(se_want).max())), err
+    _assert_close(got[2], want[2], 1e-3, "aux logits")
+
+
+def test_ccnet_full_model_parity(fresh_cfg):
+    """CCNet: recurrent criss-cross attention (row+column softmax with
+    the masked column diagonal), recurrence=2 with shared weights."""
+    from segmentron_tpu.models.ccnet import CCNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 5
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchCCNet(tbb, c3_ch=256, c4_ch=512, nclass=nclass,
+                      recurrence=2, aux=True),
+        seed=15,
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = CCNet(nclass=nclass, backbone="resnet18", aux=True, recurrence=2,
+                  encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(4).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
+    _assert_close(got[1], want[1], 1e-3, "aux logits")

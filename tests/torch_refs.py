@@ -37,7 +37,14 @@ def conv1x1(cin, cout, stride=1, bias=False):
 
 
 def randomize(model: nn.Module, seed: int = 0) -> nn.Module:
-    """Random conv weights + NON-trivial BN affine/running stats."""
+    """Random conv/linear weights + NON-trivial BN affine/running stats.
+
+    0-d parameters (the attention residual ``gamma``s, zero-init like
+    the flax originals) are set NONZERO so the attention OUTPUT path
+    (value projection -> affinity matmul -> residual add) actually
+    contributes to the compared logits — with gamma=0 a broken
+    attention branch would pass full-model parity.
+    """
     rng = np.random.RandomState(seed)
     with torch.no_grad():
         for m in model.modules():
@@ -48,7 +55,7 @@ def randomize(model: nn.Module, seed: int = 0) -> nn.Module:
                 if m.bias is not None:
                     m.bias.copy_(torch.from_numpy(
                         rng.randn(*m.bias.shape).astype(np.float32) * 0.1))
-            elif isinstance(m, nn.BatchNorm2d):
+            elif isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
                 c = m.num_features
                 m.weight.copy_(torch.from_numpy(
                     (rng.rand(c) + 0.5).astype(np.float32)))
@@ -58,6 +65,15 @@ def randomize(model: nn.Module, seed: int = 0) -> nn.Module:
                     (rng.randn(c) * 0.1).astype(np.float32)))
                 m.running_var.copy_(torch.from_numpy(
                     (rng.rand(c) + 0.5).astype(np.float32)))
+            elif isinstance(m, nn.Linear):
+                w = rng.randn(*m.weight.shape) / np.sqrt(m.in_features)
+                m.weight.copy_(torch.from_numpy(w.astype(np.float32)))
+                if m.bias is not None:
+                    m.bias.copy_(torch.from_numpy(
+                        rng.randn(*m.bias.shape).astype(np.float32) * 0.1))
+        for _, p in sorted(model.named_parameters()):
+            if p.ndim == 0:  # attention gamma
+                p.copy_(torch.tensor(float(rng.rand() * 0.5 + 0.25)))
     model.eval()
     return model
 
@@ -357,21 +373,23 @@ class TorchHRNet(nn.Module):
 
 # ========================================== flax-scope-named building blocks
 class ConvBN(nn.Module):
-    """flax ConvBNReLU twin: attrs .conv/.bn, relu applied by the caller
-    or via act=True."""
+    """flax ConvBNReLU twin: attrs .conv/.bn; act in {True/'relu',
+    'relu6', False/None}; groups for depthwise variants."""
 
     def __init__(self, cin, cout, k=3, stride=1, dilation=1, padding=None,
-                 act=True):
+                 act=True, groups=1):
         super().__init__()
         if padding is None:
             padding = dilation * (k - 1) // 2
         self.conv = nn.Conv2d(cin, cout, k, stride, padding,
-                              dilation=dilation, bias=False)
+                              dilation=dilation, groups=groups, bias=False)
         self.bn = nn.BatchNorm2d(cout)
         self.act = act
 
     def forward(self, x):
         y = self.bn(self.conv(x))
+        if self.act == "relu6":
+            return F.relu6(y)
         return F.relu(y) if self.act else y
 
 
@@ -563,11 +581,11 @@ class TorchDeepLabV3Plus(nn.Module):
 class TorchPyramidPooling(nn.Module):
     """flax modules/module.py::PyramidPooling twin (scopes p0..p3)."""
 
-    def __init__(self, cin, bins=(1, 2, 3, 6)):
+    def __init__(self, cin, bins=(1, 2, 3, 6), out=None):
         super().__init__()
         self.bins = bins
         for i in range(len(bins)):
-            setattr(self, f"p{i}", ConvBN(cin, cin // 4, 1, padding=0))
+            setattr(self, f"p{i}", ConvBN(cin, out or cin // 4, 1, padding=0))
 
     def forward(self, x):
         size = x.shape[2:]
@@ -814,3 +832,380 @@ class TorchHRNetSegOCR(nn.Module):
             F.interpolate(out, size=size, mode="bilinear", align_corners=True),
             F.interpolate(aux, size=size, mode="bilinear", align_corners=True),
         )
+
+
+# ===================================== wave-2 zoo twins (VERDICT r4 #6)
+class TorchFlaxInvertedResidual(nn.Module):
+    """flax modules/basic.py::InvertedResidual twin (scopes
+    expand/depthwise/project/project_bn, relu6 activations)."""
+
+    def __init__(self, cin, cout, stride=1, expand_ratio=6, dilation=1):
+        super().__init__()
+        hidden = int(round(cin * expand_ratio))
+        self.use_res = stride == 1 and cin == cout
+        self.has_expand = expand_ratio != 1
+        if self.has_expand:
+            self.expand = ConvBN(cin, hidden, 1, padding=0, act="relu6")
+        self.depthwise = ConvBN(hidden, hidden, 3, stride, dilation,
+                                act="relu6", groups=hidden)
+        self.project = conv1x1(hidden, cout)
+        self.project_bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        y = self.expand(x) if self.has_expand else x
+        y = self.project_bn(self.project(self.depthwise(y)))
+        return x + y if self.use_res else y
+
+
+class TorchFastSCNN(nn.Module):
+    """Whole-model Fast-SCNN twin mirroring models/fast_scnn.py scopes."""
+
+    def __init__(self, nclass, aux=False):
+        super().__init__()
+        self.conv = ConvBN(3, 32, 3, 2)
+        self.dsconv1 = TorchSeparableConv2d(32, 48, 2, relu_first=False)
+        self.dsconv2 = TorchSeparableConv2d(48, 64, 2, relu_first=False)
+        cin = 64
+        self.settings = ((64, 3, 2), (96, 3, 2), (128, 3, 1))
+        for i, (c, n, s) in enumerate(self.settings):
+            for b in range(n):
+                setattr(self, f"bottleneck{i}_{b}", TorchFlaxInvertedResidual(
+                    cin, c, s if b == 0 else 1, 6))
+                cin = c
+        self.ppm = TorchPyramidPooling(128, out=32)
+        self.ppm_out = ConvBN(128 + 4 * 32, 128, 1, padding=0)
+        self.ffm_dwconv = ConvBN(128, 128, 3, act=False, groups=128)
+        self.ffm_lower_proj = nn.Conv2d(128, 128, 1, bias=True)
+        self.ffm_higher_proj = nn.Conv2d(64, 128, 1, bias=True)
+        self.ffm_higher_bn = nn.BatchNorm2d(128)
+        self.cls_ds1 = TorchSeparableConv2d(128, 128, 1, relu_first=False)
+        self.cls_ds2 = TorchSeparableConv2d(128, 128, 1, relu_first=False)
+        self.classifier = nn.Conv2d(128, nclass, 1, bias=True)
+        self.use_aux = aux
+        if aux:
+            self.auxlayer = TorchFCNHead(64, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        y = self.conv(x)
+        y = F.relu(self.dsconv1(y))
+        higher = F.relu(self.dsconv2(y))
+        z = higher
+        for i, (c, n, s) in enumerate(self.settings):
+            for b in range(n):
+                z = getattr(self, f"bottleneck{i}_{b}")(z)
+        z = self.ppm_out(self.ppm(z))
+        lower = F.interpolate(z, size=higher.shape[2:], mode="bilinear",
+                              align_corners=True)
+        lower = self.ffm_lower_proj(self.ffm_dwconv(lower))
+        hi = self.ffm_higher_bn(self.ffm_higher_proj(higher))
+        fused = F.relu(lower + hi)
+        out = F.relu(self.cls_ds1(fused))
+        out = F.relu(self.cls_ds2(out))
+        out = self.classifier(out)  # eval: dropout identity
+        outs = [F.interpolate(out, size=size, mode="bilinear",
+                              align_corners=True)]
+        if self.use_aux:
+            outs.append(F.interpolate(self.auxlayer(higher), size=size,
+                                      mode="bilinear", align_corners=True))
+        return tuple(outs)
+
+
+class _TorchARM(nn.Module):
+    """flax models/bisenet.py::_ARM twin (conv/gate_conv/gate_bn)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = ConvBN(cin, cout, 3)
+        self.gate_conv = conv1x1(cout, cout)
+        self.gate_bn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        x = self.conv(x)
+        g = self.gate_bn(self.gate_conv(F.adaptive_avg_pool2d(x, 1)))
+        return x * torch.sigmoid(g)
+
+
+class _TorchFFM(nn.Module):
+    """flax models/bisenet.py::_FFM twin (fuse/se1/se2)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.fuse = ConvBN(cin, cout, 1, padding=0)
+        self.se1 = nn.Conv2d(cout, cout // 4, 1, bias=True)
+        self.se2 = nn.Conv2d(cout // 4, cout, 1, bias=True)
+
+    def forward(self, spatial, context):
+        x = self.fuse(torch.cat([spatial, context], dim=1))
+        g = F.relu(self.se1(F.adaptive_avg_pool2d(x, 1)))
+        g = torch.sigmoid(self.se2(g))
+        return x + x * g
+
+
+class TorchBiSeNet(nn.Module):
+    """Whole-model BiSeNet twin mirroring models/bisenet.py scopes."""
+
+    def __init__(self, backbone, c3_ch, c4_ch, nclass, aux=False):
+        super().__init__()
+        self.backbone = backbone
+        self.sp1 = ConvBN(3, 64, 7, 2)
+        self.sp2 = ConvBN(64, 64, 3, 2)
+        self.sp3 = ConvBN(64, 64, 3, 2)
+        self.sp4 = ConvBN(64, 128, 1, padding=0)
+        self.arm4 = _TorchARM(c4_ch, 128)
+        self.tail_proj = nn.Conv2d(c4_ch, 128, 1, bias=True)
+        self.refine4 = ConvBN(128, 128, 3)
+        self.arm3 = _TorchARM(c3_ch, 128)
+        self.refine3 = ConvBN(128, 128, 3)
+        self.ffm = _TorchFFM(256, 256)
+        self.head = TorchFCNHead(256, nclass, channels=64)
+        self.use_aux = aux
+        if aux:
+            self.aux3 = TorchFCNHead(128, nclass, channels=64)
+            self.aux4 = TorchFCNHead(128, nclass, channels=64)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        sp = self.sp4(self.sp3(self.sp2(self.sp1(x))))
+        c1, c2, c3, c4 = self.backbone(x)
+        tail = F.adaptive_avg_pool2d(c4, 1)
+        arm4 = self.arm4(c4) + self.tail_proj(
+            tail.expand(-1, -1, c4.shape[2], c4.shape[3])
+        )
+        arm4 = F.interpolate(arm4, size=c3.shape[2:], mode="bilinear",
+                             align_corners=True)
+        arm4 = self.refine4(arm4)
+        ctx = self.arm3(c3) + arm4
+        ctx = F.interpolate(ctx, size=sp.shape[2:], mode="bilinear",
+                            align_corners=True)
+        ctx = self.refine3(ctx)
+        fused = self.ffm(sp, ctx)
+        outs = [F.interpolate(self.head(fused), size=size, mode="bilinear",
+                              align_corners=True)]
+        if self.use_aux:
+            outs.append(F.interpolate(self.aux3(ctx), size=size,
+                                      mode="bilinear", align_corners=True))
+            outs.append(F.interpolate(self.aux4(arm4), size=size,
+                                      mode="bilinear", align_corners=True))
+        return tuple(outs)
+
+
+class _TorchCFF(nn.Module):
+    """flax models/icnet.py::_CFF twin (aux_cls/low_conv/low_bn/
+    high_conv/high_bn)."""
+
+    def __init__(self, low_ch, high_ch, features, nclass):
+        super().__init__()
+        self.aux_cls = nn.Conv2d(low_ch, nclass, 1, bias=True)
+        self.low_conv = nn.Conv2d(low_ch, features, 3, padding=2, dilation=2,
+                                  bias=False)
+        self.low_bn = nn.BatchNorm2d(features)
+        self.high_conv = conv1x1(high_ch, features)
+        self.high_bn = nn.BatchNorm2d(features)
+
+    def forward(self, low, high):
+        low = F.interpolate(low, size=high.shape[2:], mode="bilinear",
+                            align_corners=True)
+        aux = self.aux_cls(low)
+        low = self.low_bn(self.low_conv(low))
+        high = self.high_bn(self.high_conv(high))
+        return F.relu(low + high), aux
+
+
+class TorchICNet(nn.Module):
+    """Whole-model ICNet twin mirroring models/icnet.py scopes; the
+    backbone runs on BOTH the 1/2 and 1/4 inputs with shared weights,
+    exactly like the flax module's param reuse."""
+
+    def __init__(self, backbone, c2_ch, c4_ch, nclass):
+        super().__init__()
+        self.backbone = backbone
+        self.sub1_conv1 = ConvBN(3, 32, 3, 2)
+        self.sub1_conv2 = ConvBN(32, 32, 3, 2)
+        self.sub1_conv3 = ConvBN(32, 64, 3, 2)
+        self.ppm = TorchPyramidPooling(c4_ch)
+        self.ppm_proj = ConvBN(c4_ch * 2, 256, 1, padding=0)
+        self.sub2_proj = ConvBN(c2_ch, 256, 1, padding=0)
+        self.cff24 = _TorchCFF(256, 256, 128, nclass)
+        self.cff12 = _TorchCFF(128, 64, 128, nclass)
+        self.classifier = nn.Conv2d(128, nclass, 1, bias=True)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        h, w = size
+        sub1 = self.sub1_conv3(self.sub1_conv2(self.sub1_conv1(x)))
+        x_half = F.interpolate(x, size=(h // 2, w // 2), mode="bilinear",
+                               align_corners=True)
+        _, sub2, _, _ = self.backbone(x_half)
+        x_quarter = F.interpolate(x, size=(h // 4, w // 4), mode="bilinear",
+                                  align_corners=True)
+        _, _, _, c4_q = self.backbone(x_quarter)
+        sub4 = self.ppm_proj(self.ppm(c4_q))
+        fused24, aux4 = self.cff24(sub4, self.sub2_proj(sub2))
+        fused12, aux2 = self.cff12(fused24, sub1)
+        up = F.interpolate(
+            fused12, size=(fused12.shape[2] * 2, fused12.shape[3] * 2),
+            mode="bilinear", align_corners=True,
+        )
+        out = F.interpolate(self.classifier(up), size=size, mode="bilinear",
+                            align_corners=True)
+        return out, aux2, aux4
+
+
+class _TorchEncoding(nn.Module):
+    """flax models/encnet.py::_Encoding twin (params codewords/scale)."""
+
+    def __init__(self, c, k=32):
+        super().__init__()
+        g = torch.Generator().manual_seed(17)
+        self.codewords = nn.Parameter(
+            torch.randn(k, c, generator=g) / float(np.sqrt(k * c))
+        )
+        self.scale = nn.Parameter(torch.rand(k, generator=g) * 0.4 - 0.2)
+
+    def forward(self, x):  # x NCHW
+        b, c, h, w = x.shape
+        z = x.reshape(b, c, h * w).permute(0, 2, 1)  # (b, hw, c)
+        z2 = (z * z).sum(-1, keepdim=True)
+        c2 = (self.codewords * self.codewords).sum(-1)
+        d2 = z2 - 2.0 * (z @ self.codewords.t()) + c2[None, None, :]
+        assign = F.softmax(-self.scale[None, None, :] * d2, dim=-1)
+        agg_z = torch.einsum("bik,bic->bkc", assign, z)
+        agg_c = assign.sum(dim=1)[..., None] * self.codewords[None]
+        return agg_z - agg_c  # (b, k, c)
+
+
+class TorchEncModule(nn.Module):
+    """flax models/encnet.py::EncModule twin (encoding/enc_bn/fc/selayer).
+    enc_bn is BatchNorm over the CODEWORD-FEATURE axis c: flax
+    normalizes the last axis of (b, k, c); torch BatchNorm1d(C) over
+    (b, c, k) is the same statistic."""
+
+    def __init__(self, c, nclass, k=32, se_loss=True):
+        super().__init__()
+        self.encoding = _TorchEncoding(c, k)
+        self.enc_bn = nn.BatchNorm1d(c)
+        self.fc = nn.Linear(c, c)
+        self.se_loss = se_loss
+        if se_loss:
+            self.selayer = nn.Linear(c, nclass)
+
+    def forward(self, x):
+        e = self.encoding(x)  # (b, k, c)
+        e = F.relu(self.enc_bn(e.permute(0, 2, 1)).permute(0, 2, 1))
+        e = e.mean(dim=1)  # (b, c)
+        gamma = torch.sigmoid(self.fc(e))
+        y = x * gamma[:, :, None, None]
+        outs = [y]
+        if self.se_loss:
+            outs.append(self.selayer(e))
+        return outs
+
+
+class TorchEncNet(nn.Module):
+    """Whole-model EncNet twin mirroring models/encnet.py scopes."""
+
+    def __init__(self, backbone, c2_ch, c3_ch, c4_ch, nclass, lateral=True,
+                 se_loss=True, aux=False):
+        super().__init__()
+        self.backbone = backbone
+        self.fcn_conv = ConvBN(c4_ch, 512, 3)
+        self.lateral = lateral
+        if lateral:
+            self.lateral_c2 = ConvBN(c2_ch, 512, 1, padding=0)
+            self.lateral_c3 = ConvBN(c3_ch, 512, 1, padding=0)
+            self.fusion = ConvBN(512 * 3, 512, 3)
+        self.encmodule = TorchEncModule(512, nclass, se_loss=se_loss)
+        self.classifier = nn.Conv2d(512, nclass, 1, bias=True)
+        self.se_loss = se_loss
+        self.use_aux = aux
+        if aux:
+            self.auxlayer = TorchFCNHead(c3_ch, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        y = self.fcn_conv(c4)
+        if self.lateral:
+            l2 = F.interpolate(self.lateral_c2(c2), size=y.shape[2:],
+                               mode="bilinear", align_corners=True)
+            l3 = F.interpolate(self.lateral_c3(c3), size=y.shape[2:],
+                               mode="bilinear", align_corners=True)
+            y = self.fusion(torch.cat([y, l2, l3], dim=1))
+        enc_outs = self.encmodule(y)
+        out = self.classifier(enc_outs[0])  # eval: dropout identity
+        outs = [F.interpolate(out, size=size, mode="bilinear",
+                              align_corners=True)]
+        if self.se_loss:
+            outs.append(enc_outs[1])  # (b, nclass), non-spatial
+        if self.use_aux:
+            outs.append(F.interpolate(self.auxlayer(c3), size=size,
+                                      mode="bilinear", align_corners=True))
+        return tuple(outs)
+
+
+class TorchCrissCross(nn.Module):
+    """flax models/ccnet.py::CrissCrossAttention twin
+    (query/key/value/gamma), including the -1e9 column-diagonal mask."""
+
+    def __init__(self, c, reduction=8):
+        super().__init__()
+        inter = max(c // reduction, 1)
+        self.query = conv1x1(c, inter)
+        self.key = conv1x1(c, inter)
+        self.value = conv1x1(c, c)
+        self.gamma = nn.Parameter(torch.zeros(()))
+
+    def forward(self, x):  # NCHW
+        b, c, h, w = x.shape
+        q = self.query(x).permute(0, 2, 3, 1)  # (b, h, w, inter)
+        k = self.key(x).permute(0, 2, 3, 1)
+        v = self.value(x).permute(0, 2, 3, 1)
+        e_col = torch.einsum("bijc,bkjc->bijk", q, k)
+        mask = torch.where(
+            torch.eye(h, dtype=torch.bool)[None, :, None, :],
+            torch.tensor(-1e9), torch.tensor(0.0),
+        )
+        e_col = e_col + mask
+        e_row = torch.einsum("bijc,bikc->bijk", q, k)
+        att = F.softmax(torch.cat([e_col, e_row], dim=-1), dim=-1)
+        a_col, a_row = att[..., :h], att[..., h:]
+        out = torch.einsum("bijk,bkjc->bijc", a_col, v) + torch.einsum(
+            "bijk,bikc->bijc", a_row, v
+        )
+        return x + self.gamma * out.permute(0, 3, 1, 2)
+
+
+class TorchCCNet(nn.Module):
+    """Whole-model CCNet twin mirroring models/ccnet.py scopes; the cca
+    module is applied ``recurrence`` times with shared weights."""
+
+    def __init__(self, backbone, c3_ch, c4_ch, nclass, recurrence=2,
+                 aux=False):
+        super().__init__()
+        self.backbone = backbone
+        self.conva = ConvBN(c4_ch, 512, 3)
+        self.cca = TorchCrissCross(512)
+        self.convb = ConvBN(512, 512, 3)
+        self.bottleneck = ConvBN(c4_ch + 512, 512, 3)
+        self.classifier = nn.Conv2d(512, nclass, 1, bias=True)
+        self.recurrence = recurrence
+        self.use_aux = aux
+        if aux:
+            self.auxlayer = TorchFCNHead(c3_ch, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        y = self.conva(c4)
+        for _ in range(self.recurrence):
+            y = self.cca(y)
+        y = self.convb(y)
+        y = self.bottleneck(torch.cat([c4, y], dim=1))
+        out = self.classifier(y)  # eval: dropout identity
+        outs = [F.interpolate(out, size=size, mode="bilinear",
+                              align_corners=True)]
+        if self.use_aux:
+            outs.append(F.interpolate(self.auxlayer(c3), size=size,
+                                      mode="bilinear", align_corners=True))
+        return tuple(outs)
