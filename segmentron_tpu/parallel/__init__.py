@@ -20,7 +20,11 @@ from ..utils.distributed import (
     replicate_sharding,
     shard_batch,
 )
-from .spatial import make_spatial_predict_fn, spatial_sharding
+from .spatial import (
+    make_spatial_predict_fn,
+    make_spatial_train_step,
+    spatial_sharding,
+)
 
 __all__ = [
     "create_mesh",
@@ -29,4 +33,5 @@ __all__ = [
     "shard_batch",
     "spatial_sharding",
     "make_spatial_predict_fn",
+    "make_spatial_train_step",
 ]

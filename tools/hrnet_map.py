@@ -128,21 +128,32 @@ def main():
     flops = None
     if os.environ.get("MAP_COST", "0") == "1":
         try:
-            cost = (
-                jax.jit(forward)
-                .lower(
-                    jax.tree.map(
-                        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-                        variables,
-                    ),
-                    jax.ShapeDtypeStruct(x.shape, x.dtype),
+            # the axon backend returns None from cost_analysis — lower
+            # for the CPU backend instead (FLOP counts are
+            # platform-independent)
+            with jax.default_device(cpu):
+                cost = (
+                    jax.jit(forward)
+                    .lower(
+                        jax.tree.map(
+                            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                            variables,
+                        ),
+                        jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    )
+                    .cost_analysis()
                 )
-                .cost_analysis()
-            )
-            flops = float(cost.get("flops", float("nan")))
-            log(f"XLA cost-analysis flops: {flops:.3e}")
+            flops = float(cost.get("flops", float("nan"))) if cost else None
+            if flops is not None:
+                log(f"XLA cost-analysis flops: {flops:.3e}")
         except Exception as e:
             log(f"cost analysis failed: {e}")
+    if os.environ.get("MAP_COST_ONLY", "0") == "1":
+        print(json.dumps({
+            "tool": "hrnet_map", "mode": mode, "h": h, "w": w,
+            "xla_flops": flops,
+        }), flush=True)
+        return
 
     chained = os.environ.get("MAP_CHAIN", "0") == "1"
 

@@ -134,7 +134,15 @@ def main():
             ),
         )
         variables = jax.device_put(variables, dev)
-        x = jax.device_put(jnp.zeros((1, 1024, 2048, 3), jnp.bfloat16), dev)
+        # PROF_INPUT=u8: the raw-uint8 serving entry (normalize
+        # in-graph) — decomposes the measured ~3 ms/img u8-prep penalty
+        # vs the pre-normalized bf16 feed (chip_results r5)
+        u8_in = os.environ.get("PROF_INPUT", "") == "u8"
+        x = jax.device_put(
+            jnp.full((1, 1024, 2048, 3), 110, jnp.uint8)
+            if u8_in else jnp.zeros((1, 1024, 2048, 3), jnp.bfloat16),
+            dev,
+        )
 
         import functools
 
@@ -144,6 +152,12 @@ def main():
             jax.jit, compiler_options=tpu_compiler_options()
         )
         def fwd(v, x):
+            if x.dtype == jnp.uint8:
+                from segmentron_tpu.ops.preprocess import normalize_u8
+
+                x = normalize_u8(
+                    x, list(cfg.DATASET.MEAN), list(cfg.DATASET.STD)
+                ).astype(jnp.bfloat16)
             return model.apply(v, x, False)[0].mean().astype(jnp.float32)
 
         log("warm inference (compile)")
