@@ -371,12 +371,20 @@ def conv_chain():
     in-context with XLA convs — sweep W (tiling multiples), batch and C
     to find what the conv lowering actually keys on."""
     results = {}
-    for shape in (
+    shapes = (
         (8, 96, 96, 512),    # original probe: W not a 128 multiple
         (1, 128, 256, 512),  # resnet-like OS8 full-res geometry
         (8, 128, 128, 512),  # batch + aligned W
         (1, 64, 128, 728),   # middle-flow geometry, dense
-    ):
+    )
+    if os.environ.get("CP_CONV_SHAPES"):
+        # e.g. "1x256x512x48,1x128x256x96" — the HRNet branch widths
+        # (lane-utilization hypothesis for the 37-TF backbone, r5)
+        shapes = tuple(
+            tuple(int(v) for v in s.split("x"))
+            for s in os.environ["CP_CONV_SHAPES"].split(",")
+        )
+    for shape in shapes:
         n, h, w_, c = shape
         rs = np.random.RandomState(0)
         x = jnp.asarray(rs.randn(*shape), jnp.bfloat16)
