@@ -390,9 +390,12 @@ def convert_generic_state(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
             # scalar params keep their own name (DANet/OCNet attention
             # ``gamma`` residual weights; flax declares them 0-d too)
             put(params, scope, leaf, v)
-        elif leaf in ("codewords", "scale"):
-            # EncNet context-encoding codebook: flax declares the same
-            # (K, C) / (K,) layouts under the same names — verbatim copy
+        elif leaf in ("codewords", "scale") or leaf.endswith("prelu"):
+            # Verbatim-copy leaves that flax declares under the same
+            # names/layouts: EncNet's context-encoding codebook
+            # ((K, C) ``codewords`` / (K,) ``scale``) and the bare
+            # per-channel PReLU slopes of CGNet/EESPNet (``prelu``,
+            # ``hff_prelu``, ``out_prelu``, ``merge_prelu``)
             put(params, scope, leaf, v)
         else:
             raise ValueError(f"Unrecognized state_dict leaf: {key!r}")

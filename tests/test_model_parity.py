@@ -484,3 +484,98 @@ def test_ccnet_full_model_parity(fresh_cfg):
         want = tm(_nchw(x))
     _assert_close(got[0], want[0], 1e-3, "main logits")
     _assert_close(got[1], want[1], 1e-3, "aux logits")
+
+
+# ===================================== wave-3 zoo oracles (round 5):
+# every remaining CASES row gets a full-model torch oracle so semantic
+# drift (not just shape drift) is visible suite-wide.
+def test_unet_full_model_parity(fresh_cfg):
+    """UNet: symmetric encoder-decoder with skip concats; everything
+    through the generic mapper (no backbone)."""
+    from segmentron_tpu.models.unet import UNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 4
+    tm = tr.randomize(tr.TorchUNet(nclass), seed=16)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = UNet(nclass=nclass, backbone="", aux=False,
+                 encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(5).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "logits")
+
+
+def test_denseaspp_full_model_parity(fresh_cfg):
+    """DenseASPP: densely-connected atrous stack (each layer eats the
+    concat of all previous) over resnet18 + aux head."""
+    from segmentron_tpu.models.denseaspp import DenseASPP
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 5
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchDenseASPP(tbb, c4_ch=512, nclass=nclass, c3_ch=256, aux=True),
+        seed=17,
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = DenseASPP(nclass=nclass, backbone="resnet18", aux=True,
+                      encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(6).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
+    _assert_close(got[1], want[1], 1e-3, "aux logits")
+
+
+def test_dunet_full_model_parity(fresh_cfg):
+    """DUNet: c2/c3 fusion + DUpsampling (1x1 projection + the exact
+    flax depth-to-space channel decomposition) over resnet18."""
+    from segmentron_tpu.models.dunet import DUNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 5
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchDUNet(tbb, c2_ch=128, c3_ch=256, c4_ch=512, nclass=nclass,
+                      scale=8, aux=True),
+        seed=18,
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = DUNet(nclass=nclass, backbone="resnet18", aux=True,
+                  output_stride=8,
+                  encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(7).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "DUpsampled logits")
+    _assert_close(got[1], want[1], 1e-3, "aux logits")
+
+
+def test_translab_full_model_parity(fresh_cfg):
+    """TransLab: boundary stream + boundary-attention-gated decoder;
+    both the seg logits and the 1-ch boundary logits must match."""
+    from segmentron_tpu.models.translab import TransLab
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 3
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchTransLab(tbb, c1_ch=64, c4_ch=512, nclass=nclass), seed=19
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = TransLab(nclass=nclass, backbone="resnet18", aux=False,
+                     encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(8).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "seg logits")
+    _assert_close(got[1], want[1], 1e-3, "boundary logits")
