@@ -579,3 +579,45 @@ def test_translab_full_model_parity(fresh_cfg):
         want = tm(_nchw(x))
     _assert_close(got[0], want[0], 1e-3, "seg logits")
     _assert_close(got[1], want[1], 1e-3, "boundary logits")
+
+
+def test_cgnet_full_model_parity(fresh_cfg):
+    """CGNet: depthwise loc/sur context pairs, bare-PReLU activations
+    (exercises the converter's prelu passthrough), GAP channel gates,
+    raw-input injection. Shallow stage-3 (n=6) keeps CPU cost sane while
+    covering the dilation-4 blocks and both down variants."""
+    from segmentron_tpu.models.cgnet import CGNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 5
+    tm = tr.randomize(tr.TorchCGNet(nclass, m=3, n=6), seed=20)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = CGNet(nclass=nclass, backbone="", aux=False, m_blocks=3,
+                  n_blocks=6,
+                  encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(9).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "logits")
+
+
+def test_lednet_full_model_parity(fresh_cfg):
+    """LEDNet: split-shuffle non-bottlenecks (channel split, factorized
+    dilated convs, 2-group shuffle) + the APN attention pyramid head."""
+    from segmentron_tpu.models.lednet import LEDNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 4
+    dil = (1, 2, 5, 9)
+    tm = tr.randomize(tr.TorchLEDNet(nclass, dilations=dil), seed=21)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = LEDNet(nclass=nclass, backbone="", aux=False, dilations=dil,
+                   encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(10).randn(1, 128, 128, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "logits")

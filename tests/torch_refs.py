@@ -1403,3 +1403,230 @@ class TorchTransLab(nn.Module):
         y = self.bam_low(y, boundary)
         out = self.classifier(y)
         return (_up(out, size), _up(boundary, size))
+
+
+class _TorchConvBNPReLU(nn.Module):
+    """flax models/cgnet.py::_ConvBNPReLU twin (conv/bn + bare ``prelu``)."""
+
+    def __init__(self, cin, cout, k=3, stride=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+        self.prelu = nn.Parameter(torch.full((cout,), 0.25))
+
+    def forward(self, x):
+        return F.prelu(self.bn(self.conv(x)), self.prelu)
+
+
+class _TorchBNPReLU(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(c)
+        self.prelu = nn.Parameter(torch.full((c,), 0.25))
+
+    def forward(self, x):
+        return F.prelu(self.bn(x), self.prelu)
+
+
+class _TorchGlobalContext(nn.Module):
+    """flax models/cgnet.py::_GlobalContext twin (fc1/fc2)."""
+
+    def __init__(self, c, reduction=16):
+        super().__init__()
+        self.fc1 = nn.Linear(c, max(c // reduction, 4))
+        self.fc2 = nn.Linear(max(c // reduction, 4), c)
+
+    def forward(self, x):
+        g = torch.sigmoid(self.fc2(F.relu(self.fc1(x.mean((2, 3))))))
+        return x * g[:, :, None, None]
+
+
+class _TorchCGBlock(nn.Module):
+    """flax models/cgnet.py::_CGBlock twin
+    (conv1x1/f_loc/f_sur/bn_prelu/[reduce]/f_glo)."""
+
+    def __init__(self, cin, features, dilation=2, reduction=16, down=False):
+        super().__init__()
+        self.down = down
+        n = features if down else features // 2
+        self.conv1x1 = _TorchConvBNPReLU(cin, n, 3 if down else 1,
+                                         2 if down else 1)
+        self.f_loc = nn.Conv2d(n, n, 3, 1, 1, groups=n, bias=False)
+        self.f_sur = nn.Conv2d(n, n, 3, 1, dilation, dilation=dilation,
+                               groups=n, bias=False)
+        self.bn_prelu = _TorchBNPReLU(2 * n)
+        if down:
+            self.reduce = nn.Conv2d(2 * n, features, 1, bias=False)
+        self.f_glo = _TorchGlobalContext(features, reduction)
+
+    def forward(self, x):
+        y = self.conv1x1(x)
+        joi = torch.cat([self.f_loc(y), self.f_sur(y)], dim=1)
+        joi = self.bn_prelu(joi)
+        if self.down:
+            joi = self.reduce(joi)
+        out = self.f_glo(joi)
+        return out if self.down else x + out
+
+
+class TorchCGNet(nn.Module):
+    """Whole-model CGNet twin mirroring models/cgnet.py scopes
+    (stage1_*, b1/b2/b3, stage{2,3}_down, stage{2,3}_{i}, classifier).
+    The input-injection avg pools (sample1/sample2) have no params."""
+
+    def __init__(self, nclass, m=3, n=21):
+        super().__init__()
+        self.m, self.n = m, n
+        self.stage1_0 = _TorchConvBNPReLU(3, 32, 3, 2)
+        self.stage1_1 = _TorchConvBNPReLU(32, 32, 3, 1)
+        self.stage1_2 = _TorchConvBNPReLU(32, 32, 3, 1)
+        self.b1 = _TorchBNPReLU(32 + 3)
+        self.stage2_down = _TorchCGBlock(35, 64, 2, 8, down=True)
+        for i in range(m - 1):
+            setattr(self, f"stage2_{i}", _TorchCGBlock(64, 64, 2, 8))
+        self.b2 = _TorchBNPReLU(64 + 64 + 3)
+        self.stage3_down = _TorchCGBlock(131, 128, 4, 16, down=True)
+        for i in range(n - 1):
+            setattr(self, f"stage3_{i}", _TorchCGBlock(128, 128, 4, 16))
+        self.b3 = _TorchBNPReLU(256)
+        self.classifier = nn.Conv2d(256, nclass, 1, bias=True)
+
+    @staticmethod
+    def _inject(x, times):
+        for _ in range(times):
+            x = F.avg_pool2d(x, 3, 2, 1)
+        return x
+
+    def forward(self, x):
+        size = x.shape[2:]
+        y = self.stage1_2(self.stage1_1(self.stage1_0(x)))
+        y = self.b1(torch.cat([y, self._inject(x, 1)], dim=1))
+        y0 = self.stage2_down(y)
+        z = y0
+        for i in range(self.m - 1):
+            z = getattr(self, f"stage2_{i}")(z)
+        y = self.b2(torch.cat([z, y0, self._inject(x, 2)], dim=1))
+        y0 = self.stage3_down(y)
+        z = y0
+        for i in range(self.n - 1):
+            z = getattr(self, f"stage3_{i}")(z)
+        y = self.b3(torch.cat([z, y0], dim=1))
+        return (_up(self.classifier(y), size),)
+
+
+class _TorchLEDDown(nn.Module):
+    """flax models/lednet.py::_Down twin (conv/bn; conv||maxpool concat)."""
+
+    def __init__(self, cin, features):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, max(features - cin, 1), 3, 2, 1, bias=True)
+        self.bn = nn.BatchNorm2d(features)
+
+    def forward(self, x):
+        y = torch.cat([self.conv(x), F.max_pool2d(x, 2, 2)], dim=1)
+        return F.relu(self.bn(y))
+
+
+class _TorchSSnbt(nn.Module):
+    """flax models/lednet.py::_SSnbt twin (l_conv*/l_bn*/r_conv*/r_bn* +
+    residual + 2-group channel shuffle)."""
+
+    def __init__(self, c2, dilation=1):
+        super().__init__()
+        c, d = c2 // 2, dilation
+        self.l_conv1 = nn.Conv2d(c, c, (3, 1), 1, (1, 0), bias=True)
+        self.l_conv2 = nn.Conv2d(c, c, (1, 3), 1, (0, 1), bias=True)
+        self.l_bn1 = nn.BatchNorm2d(c)
+        self.l_conv3 = nn.Conv2d(c, c, (3, 1), 1, (d, 0), (d, 1), bias=True)
+        self.l_conv4 = nn.Conv2d(c, c, (1, 3), 1, (0, d), (1, d), bias=True)
+        self.l_bn2 = nn.BatchNorm2d(c)
+        self.r_conv1 = nn.Conv2d(c, c, (1, 3), 1, (0, 1), bias=True)
+        self.r_conv2 = nn.Conv2d(c, c, (3, 1), 1, (1, 0), bias=True)
+        self.r_bn1 = nn.BatchNorm2d(c)
+        self.r_conv3 = nn.Conv2d(c, c, (1, 3), 1, (0, d), (1, d), bias=True)
+        self.r_conv4 = nn.Conv2d(c, c, (3, 1), 1, (d, 0), (d, 1), bias=True)
+        self.r_bn2 = nn.BatchNorm2d(c)
+
+    def forward(self, x):
+        c = x.shape[1] // 2
+        l, r = x[:, :c], x[:, c:]
+        l = F.relu(self.l_conv2(F.relu(self.l_conv1(l))))
+        l = F.relu(self.l_bn1(l))
+        l = self.l_bn2(self.l_conv4(F.relu(self.l_conv3(l))))
+        r = F.relu(self.r_conv2(F.relu(self.r_conv1(r))))
+        r = F.relu(self.r_bn1(r))
+        r = self.r_bn2(self.r_conv4(F.relu(self.r_conv3(r))))
+        y = F.relu(x + torch.cat([l, r], dim=1))
+        b, ch, h, w = y.shape
+        return (y.view(b, 2, ch // 2, h, w).transpose(1, 2)
+                .reshape(b, ch, h, w))
+
+
+class _TorchAPN(nn.Module):
+    """flax models/lednet.py::_APN twin (flat {name}_conv/{name}_bn attrs
+    + parameterless pyramid resizes and the global-pool branch)."""
+
+    def __init__(self, cin, nclass):
+        super().__init__()
+
+        def cbr(ci, k, s, name):
+            setattr(self, f"{name}_conv",
+                    nn.Conv2d(ci, nclass, k, s, (k - 1) // 2, bias=True))
+            setattr(self, f"{name}_bn", nn.BatchNorm2d(nclass))
+
+        cbr(cin, 7, 2, "down1")
+        cbr(nclass, 5, 2, "down2")
+        cbr(nclass, 3, 2, "down3")
+        cbr(nclass, 3, 1, "down3b")
+        cbr(nclass, 5, 1, "lat2")
+        cbr(nclass, 7, 1, "lat1")
+        cbr(cin, 1, 1, "mid")
+        self.global_conv = nn.Conv2d(cin, nclass, 1, bias=True)
+
+    def _run(self, name, x):
+        return F.relu(getattr(self, f"{name}_bn")(
+            getattr(self, f"{name}_conv")(x)))
+
+    def forward(self, x):
+        size = x.shape[2:]
+        d1 = self._run("down1", x)
+        d2 = self._run("down2", d1)
+        d3 = self._run("down3b", self._run("down3", d2))
+        y = _up(d3, d2.shape[2:]) + self._run("lat2", d2)
+        y = _up(y, d1.shape[2:]) + self._run("lat1", d1)
+        y = _up(y, size)
+        out = self._run("mid", x) * y
+        g = self.global_conv(x.mean((2, 3), keepdim=True))
+        return out + g
+
+
+class TorchLEDNet(nn.Module):
+    """Whole-model LEDNet twin mirroring models/lednet.py scopes
+    (down{1,2,3}, ssnbt{1,2,3}_{i}, apn)."""
+
+    def __init__(self, nclass, dilations=(1, 2, 5, 9, 2, 5, 9, 17)):
+        super().__init__()
+        self.dilations = dilations
+        self.down1 = _TorchLEDDown(3, 32)
+        for i in range(3):
+            setattr(self, f"ssnbt1_{i}", _TorchSSnbt(32))
+        self.down2 = _TorchLEDDown(32, 64)
+        for i in range(2):
+            setattr(self, f"ssnbt2_{i}", _TorchSSnbt(64))
+        self.down3 = _TorchLEDDown(64, 128)
+        for i, d in enumerate(dilations):
+            setattr(self, f"ssnbt3_{i}", _TorchSSnbt(128, d))
+        self.apn = _TorchAPN(128, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        y = self.down1(x)
+        for i in range(3):
+            y = getattr(self, f"ssnbt1_{i}")(y)
+        y = self.down2(y)
+        for i in range(2):
+            y = getattr(self, f"ssnbt2_{i}")(y)
+        y = self.down3(y)
+        for i in range(len(self.dilations)):
+            y = getattr(self, f"ssnbt3_{i}")(y)
+        return (_up(self.apn(y), size),)
