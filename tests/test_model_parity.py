@@ -621,3 +621,42 @@ def test_lednet_full_model_parity(fresh_cfg):
     with torch.no_grad():
         want = tm(_nchw(x))
     _assert_close(got[0], want[0], 1e-3, "logits")
+
+
+def test_hardnet_full_model_parity(fresh_cfg):
+    """FC-HarDNet-70: harmonic-link blocks (layer k reads k - 2^i, odd
+    layers + last concat out) through encoder AND decoder, with the
+    link rule re-derived independently in the torch twin."""
+    from segmentron_tpu.models.hardnet import HardNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 4
+    tm = tr.randomize(tr.TorchHardNet(nclass), seed=22)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = HardNet(nclass=nclass, backbone="", aux=False,
+                    encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(11).randn(1, 128, 128, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 2e-3, "logits")
+
+
+def test_dfanet_full_model_parity(fresh_cfg):
+    """DFANet: the Xception-A encoder run three times with fc-attention
+    re-ingestion (sub-network aggregation) + the summing decoder."""
+    from segmentron_tpu.models.dfanet import DFANet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 4
+    tm = tr.randomize(tr.TorchDFANet(nclass), seed=23)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = DFANet(nclass=nclass, backbone="", aux=False,
+                   encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(12).randn(1, 128, 128, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 2e-3, "logits")

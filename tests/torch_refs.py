@@ -1630,3 +1630,206 @@ class TorchLEDNet(nn.Module):
         for i in range(len(self.dilations)):
             y = getattr(self, f"ssnbt3_{i}")(y)
         return (_up(self.apn(y), size),)
+
+
+def _hard_link(layer, base_ch, gr, grmul):
+    """HarDNet harmonic link rule (layer k reads k - 2^i), re-derived
+    independently of models/hardnet.py::_get_link for oracle value."""
+    if layer == 0:
+        return base_ch, []
+    out_ch = float(gr)
+    link = []
+    for i in range(10):
+        dv = 2 ** i
+        if layer % dv == 0:
+            link.append(layer - dv)
+            if i > 0:
+                out_ch *= grmul
+    out_ch = int(int(out_ch + 1) / 2) * 2
+    return out_ch, link
+
+
+class _TorchHarDBlock(nn.Module):
+    """flax models/hardnet.py::_HarDBlock twin (layer{1..n} ConvBN)."""
+
+    def __init__(self, cin, gr, grmul, n_layers):
+        super().__init__()
+        self.n_layers = n_layers
+        self.gr, self.grmul, self.base = gr, grmul, cin
+        chans = {0: cin}
+        for i in range(1, n_layers + 1):
+            out_ch, link = _hard_link(i, cin, gr, grmul)
+            tin = sum(chans[j] for j in link)
+            setattr(self, f"layer{i}", ConvBN(tin, out_ch, 3))
+            chans[i] = out_ch
+        self.out_ch = sum(chans[i] for i in range(n_layers + 1)
+                          if i == n_layers or i % 2 == 1)
+
+    def forward(self, x):
+        layers = [x]
+        for i in range(1, self.n_layers + 1):
+            _, link = _hard_link(i, self.base, self.gr, self.grmul)
+            tin = torch.cat([layers[j] for j in link], dim=1)
+            layers.append(getattr(self, f"layer{i}")(tin))
+        outs = [layers[i] for i in range(len(layers))
+                if i == len(layers) - 1 or i % 2 == 1]
+        return torch.cat(outs, dim=1)
+
+
+class TorchHardNet(nn.Module):
+    """Whole-model FC-HarDNet twin mirroring models/hardnet.py scopes
+    (stem0..3, block{i}, trans{i}, dec_conv{i}, dec_block{i},
+    classifier)."""
+
+    def __init__(self, nclass, first_ch=(16, 24, 32, 48),
+                 ch_list=(64, 96, 160, 224, 320), grmul=1.7,
+                 gr=(10, 16, 18, 24, 32), n_layers=(4, 4, 8, 8, 8)):
+        super().__init__()
+        self.n_blocks = len(n_layers)
+        self.stem0 = ConvBN(3, first_ch[0], 3, stride=2)
+        self.stem1 = ConvBN(first_ch[0], first_ch[1], 3)
+        self.stem2 = ConvBN(first_ch[1], first_ch[2], 3, stride=2)
+        self.stem3 = ConvBN(first_ch[2], first_ch[3], 3)
+        cin = first_ch[3]
+        skip_ch = []
+        for i in range(self.n_blocks):
+            blk = _TorchHarDBlock(cin, gr[i], grmul, n_layers[i])
+            setattr(self, f"block{i}", blk)
+            skip_ch.append(blk.out_ch)
+            setattr(self, f"trans{i}", ConvBN(blk.out_ch, ch_list[i], 1,
+                                              padding=0))
+            cin = ch_list[i]
+        for i in range(self.n_blocks - 2, -1, -1):
+            dec = ConvBN(cin + skip_ch[i], ch_list[i], 1, padding=0)
+            setattr(self, f"dec_conv{i}", dec)
+            blk = _TorchHarDBlock(ch_list[i], gr[i], grmul,
+                                  max(n_layers[i] // 2, 2))
+            setattr(self, f"dec_block{i}", blk)
+            cin = blk.out_ch
+        self.classifier = nn.Conv2d(cin, nclass, 1, bias=True)
+
+    def forward(self, x):  # eval: dropout identity
+        size = x.shape[2:]
+        y = self.stem3(self.stem2(self.stem1(self.stem0(x))))
+        skips = []
+        for i in range(self.n_blocks):
+            y = getattr(self, f"block{i}")(y)
+            skips.append(y)
+            y = getattr(self, f"trans{i}")(y)
+            if i < self.n_blocks - 1:
+                y = F.avg_pool2d(y, 2, 2)
+        for i in range(self.n_blocks - 2, -1, -1):
+            y = _up(y, skips[i].shape[2:])
+            y = torch.cat([y, skips[i]], dim=1)
+            y = getattr(self, f"dec_conv{i}")(y)
+            y = getattr(self, f"dec_block{i}")(y)
+        return (_up(self.classifier(y), size),)
+
+
+class _TorchXABlock(nn.Module):
+    """flax models/dfanet.py::_XABlock twin (sep1..3, skip_conv/skip_bn)."""
+
+    def __init__(self, cin, features, stride=1):
+        super().__init__()
+        inter = features // 4
+        self.sep1 = TorchSeparableConv2d(cin, inter, 1, relu_first=True)
+        self.sep2 = TorchSeparableConv2d(inter, inter, 1, relu_first=True)
+        self.sep3 = TorchSeparableConv2d(inter, features, stride,
+                                         relu_first=True)
+        self.proj = stride != 1 or cin != features
+        if self.proj:
+            self.skip_conv = conv1x1(cin, features, stride)
+            self.skip_bn = nn.BatchNorm2d(features)
+
+    def forward(self, x):
+        y = self.sep3(self.sep2(self.sep1(x)))
+        sc = self.skip_bn(self.skip_conv(x)) if self.proj else x
+        return y + sc
+
+
+class _TorchXAStage(nn.Module):
+    """flax models/dfanet.py::_XceptionAStage twin (block0..n-1)."""
+
+    def __init__(self, cin, features, n_blocks=3):
+        super().__init__()
+        self.n = n_blocks
+        self.block0 = _TorchXABlock(cin, features, 2)
+        for i in range(1, n_blocks):
+            setattr(self, f"block{i}", _TorchXABlock(features, features))
+
+    def forward(self, x):
+        y = self.block0(x)
+        for i in range(1, self.n):
+            y = getattr(self, f"block{i}")(y)
+        return y
+
+
+class _TorchFCAttention(nn.Module):
+    """flax models/dfanet.py::_FCAttention twin (fc + conv gate)."""
+
+    def __init__(self, c, fc_dim=1000):
+        super().__init__()
+        self.fc = nn.Linear(c, fc_dim)
+        self.conv = nn.Conv2d(fc_dim, c, 1, bias=True)
+
+    def forward(self, x):
+        g = self.fc(x.mean((2, 3)))
+        g = self.conv(g[:, :, None, None])
+        return x * torch.sigmoid(g)
+
+
+class _TorchEncoderPass(nn.Module):
+    """flax models/dfanet.py::_EncoderPass twin (enc2/enc3/enc4/fca)."""
+
+    def __init__(self, cin, channels=(48, 96, 192)):
+        super().__init__()
+        self.enc2 = _TorchXAStage(cin, channels[0])
+        self.enc3 = _TorchXAStage(channels[0], channels[1])
+        self.enc4 = _TorchXAStage(channels[1], channels[2])
+        self.fca = _TorchFCAttention(channels[2])
+
+    def forward(self, x):
+        e2 = self.enc2(x)
+        e3 = self.enc3(e2)
+        e4 = self.enc4(e3)
+        return e2, e3, e4, self.fca(e4)
+
+
+class TorchDFANet(nn.Module):
+    """Whole-model DFANet twin mirroring models/dfanet.py scopes
+    (stem, pass{0,1,2}, dec_e2_{p}, dec_fca_{p}, dec_conv, classifier)."""
+
+    def __init__(self, nclass, channels=(48, 96, 192), dec_ch=64):
+        super().__init__()
+        self.stem = ConvBN(3, 8, 3, stride=2)
+        self.pass0 = _TorchEncoderPass(8, channels)
+        self.pass1 = _TorchEncoderPass(channels[0] + channels[2], channels)
+        self.pass2 = _TorchEncoderPass(channels[0] + channels[2], channels)
+        for p in range(3):
+            setattr(self, f"dec_e2_{p}", ConvBN(channels[0], dec_ch, 1,
+                                                padding=0))
+            setattr(self, f"dec_fca_{p}", ConvBN(channels[2], dec_ch, 1,
+                                                 padding=0))
+        self.dec_conv = ConvBN(dec_ch, dec_ch, 3)
+        self.classifier = nn.Conv2d(dec_ch, nclass, 1, bias=True)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        y = self.stem(x)
+        e2s, fcas = [], []
+        inp = y
+        for p in range(3):
+            e2, e3, e4, fca = getattr(self, f"pass{p}")(inp)
+            e2s.append(e2)
+            fcas.append(fca)
+            if p < 2:
+                inp = torch.cat([e2, _up(fca, e2.shape[2:])], dim=1)
+        tgt = e2s[0].shape[2:]
+        dec = None
+        for p, e2 in enumerate(e2s):
+            y = _up(getattr(self, f"dec_e2_{p}")(e2), tgt)
+            dec = y if dec is None else dec + y
+        for p, fca in enumerate(fcas):
+            dec = dec + _up(getattr(self, f"dec_fca_{p}")(fca), tgt)
+        out = self.classifier(self.dec_conv(dec))
+        return (_up(out, size),)
