@@ -660,3 +660,81 @@ def test_dfanet_full_model_parity(fresh_cfg):
     with torch.no_grad():
         want = tm(_nchw(x))
     _assert_close(got[0], want[0], 2e-3, "logits")
+
+
+def test_espnetv2_full_model_parity(fresh_cfg):
+    """ESPNetV2 over the EESPNet backbone: grouped-pointwise EESP units
+    with hierarchical feature fusion, avg-pool shortcuts, raw-image
+    re-injection, PSP context and two EESP fusion stages — the whole
+    backbone goes through the generic mapper (prelu passthrough)."""
+    from segmentron_tpu.models.espnetv2 import ESPNetV2
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    nclass = 5
+    tm = tr.randomize(tr.TorchESPNetV2(nclass), seed=24)
+    tree = convert_generic_state(_state(tm))
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    model = ESPNetV2(nclass=nclass, backbone="eespnet", aux=False,
+                     encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(13).randn(1, 128, 128, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "logits")
+
+
+def test_pointrend_full_model_parity(fresh_cfg):
+    """PointRend eval path: DeepLab-style coarse head + two subdivision
+    steps of top-K uncertainty selection, grid_sample-equivalent point
+    sampling, the point MLP and the scatter re-render. (The train-mode
+    point sampling is RNG-driven inside the flax module and is covered
+    by the point_sample/top_k oracles + train smoke tests.)"""
+    from segmentron_tpu.models.pointrend import PointRend
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 5
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchPointRend(tbb, c1_ch=64, c4_ch=512, nclass=nclass,
+                          subdivision_steps=2, subdivision_points=64),
+        seed=25,
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = PointRend(nclass=nclass, backbone="resnet18", aux=False,
+                      base_model="DeepLabV3_Plus",
+                      subdivision_steps=2, subdivision_points=64,
+                      encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(14).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 2e-3, "refined logits")
+
+
+@pytest.mark.parametrize("arch", ["pyramid", "asp"])
+def test_ocnet_variant_full_model_parity(fresh_cfg, arch):
+    """The two remaining OC_ARCH variants: pyramid (within-cell
+    attention over {1,2,3,6} partitions with zero-pad/crop) and ASP-OC
+    (OC block as the ASPP 1x1 branch)."""
+    from segmentron_tpu.models.ocnet import OCNet
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 8
+    nclass = 4
+    tbb = tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2), output_stride=8)
+    tm = tr.randomize(
+        tr.TorchOCNetVariant(tbb, c4_ch=512, nclass=nclass, oc_arch=arch,
+                             aux=True, c3_ch=256),
+        seed=26,
+    )
+    variables = _split_resnet(tm, (2, 2, 2, 2))
+    model = OCNet(nclass=nclass, backbone="resnet18", aux=True,
+                  oc_arch=arch,
+                  encoder_norm=NormConfig(), decoder_norm=NormConfig())
+    x = np.random.RandomState(15).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
+    _assert_close(got[1], want[1], 1e-3, "aux logits")

@@ -1833,3 +1833,296 @@ class TorchDFANet(nn.Module):
             dec = dec + _up(getattr(self, f"dec_fca_{p}")(fca), tgt)
         out = self.classifier(self.dec_conv(dec))
         return (_up(out, size),)
+
+
+class _TorchCBPR(nn.Module):
+    """flax backbones/eespnet.py::_CBPR twin (conv/bn + bare prelu)."""
+
+    def __init__(self, cin, cout, k=3, stride=1, groups=1):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, stride, (k - 1) // 2,
+                              groups=groups, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+        self.prelu = nn.Parameter(torch.full((cout,), 0.25))
+
+    def forward(self, x):
+        return F.prelu(self.bn(self.conv(x)), self.prelu)
+
+
+class _TorchEESP(nn.Module):
+    """flax backbones/eespnet.py::_EESP twin (reduce, dw{i}, hff_bn,
+    expand, expand_bn + bare hff_prelu/out_prelu)."""
+
+    def __init__(self, cin, features, stride=1, branches=4, max_dilation=8):
+        super().__init__()
+        self.k, self.stride, self.cin, self.features = (
+            branches, stride, cin, features)
+        d = features // branches
+        groups = min(branches, d)
+        self.reduce = _TorchCBPR(cin, d, 1, stride, groups=groups)
+        self.dilations = [min(2 ** i, max_dilation) for i in range(branches)]
+        for i, dil in enumerate(self.dilations):
+            setattr(self, f"dw{i}",
+                    nn.Conv2d(d, d, 3, 1, dil, dilation=dil, groups=d,
+                              bias=False))
+        self.hff_bn = nn.BatchNorm2d(d * branches)
+        self.hff_prelu = nn.Parameter(torch.full((d * branches,), 0.25))
+        self.expand = nn.Conv2d(d * branches, features, 1, groups=groups,
+                                bias=False)
+        self.expand_bn = nn.BatchNorm2d(features)
+        self.out_prelu = nn.Parameter(torch.full((features,), 0.25))
+
+    def forward(self, x):
+        y = self.reduce(x)
+        outs = [getattr(self, f"dw{i}")(y) for i in range(self.k)]
+        fused = [outs[0]]
+        for i in range(1, self.k):
+            fused.append(fused[-1] + outs[i])
+        z = F.prelu(self.hff_bn(torch.cat(fused, dim=1)), self.hff_prelu)
+        z = self.expand_bn(self.expand(z))
+        if self.stride == 1 and self.cin == self.features:
+            z = z + x
+        return F.prelu(z, self.out_prelu)
+
+
+class _TorchDownEESP(nn.Module):
+    """flax backbones/eespnet.py::_DownEESP twin (eesp, inject +
+    bare merge_prelu; the avg-pool shortcut has no params)."""
+
+    def __init__(self, cin, features):
+        super().__init__()
+        self.eesp = _TorchEESP(cin, features - cin, stride=2)
+        self.inject = _TorchCBPR(3, features, 3, 1)
+        self.merge_prelu = nn.Parameter(torch.full((features,), 0.25))
+
+    def forward(self, x, img):
+        y = torch.cat([F.avg_pool2d(x, 3, 2, 1), self.eesp(x)], dim=1)
+        while img.shape[2] > y.shape[2]:
+            img = F.avg_pool2d(img, 3, 2, 1)
+        return F.prelu(y + self.inject(img), self.merge_prelu)
+
+
+class TorchEESPNet(nn.Module):
+    """flax backbones/eespnet.py::EESPNet twin (level1, level{2,3,4}_down,
+    level{2,3,4}_{i}) at scale 1.0, depths (0, 3, 7)."""
+
+    def __init__(self, depths=(0, 3, 7), chans=(32, 64, 128, 256)):
+        super().__init__()
+        self.depths = depths
+        self.level1 = _TorchCBPR(3, chans[0], 3, 2)
+        self.level2_down = _TorchDownEESP(chans[0], chans[1])
+        for i in range(depths[0]):
+            setattr(self, f"level2_{i}", _TorchEESP(chans[1], chans[1]))
+        self.level3_down = _TorchDownEESP(chans[1], chans[2])
+        for i in range(depths[1]):
+            setattr(self, f"level3_{i}", _TorchEESP(chans[2], chans[2]))
+        self.level4_down = _TorchDownEESP(chans[2], chans[3])
+        for i in range(depths[2]):
+            setattr(self, f"level4_{i}", _TorchEESP(chans[3], chans[3]))
+
+    def forward(self, x):
+        img = x
+        c1 = self.level1(x)
+        c2 = self.level2_down(c1, img)
+        for i in range(self.depths[0]):
+            c2 = getattr(self, f"level2_{i}")(c2)
+        c3 = self.level3_down(c2, img)
+        for i in range(self.depths[1]):
+            c3 = getattr(self, f"level3_{i}")(c3)
+        c4 = self.level4_down(c3, img)
+        for i in range(self.depths[2]):
+            c4 = getattr(self, f"level4_{i}")(c4)
+        return c1, c2, c3, c4
+
+
+class TorchESPNetV2(nn.Module):
+    """Whole-model ESPNetV2 twin mirroring models/espnetv2.py scopes
+    (backbone, psp, proj4/proj3/proj2, fuse3/fuse2, classifier)."""
+
+    def __init__(self, nclass, proj_ch=128, c_taps=(32, 64, 128, 256)):
+        super().__init__()
+        self.backbone = TorchEESPNet()
+        self.psp = TorchPyramidPooling(c_taps[3], out=proj_ch // 4)
+        psp_out = c_taps[3] + 4 * (proj_ch // 4)
+        self.proj4 = ConvBN(psp_out, proj_ch, 1, padding=0)
+        self.proj3 = ConvBN(c_taps[2], proj_ch, 1, padding=0)
+        self.fuse3 = _TorchEESP(2 * proj_ch, proj_ch)
+        self.proj2 = ConvBN(c_taps[1], proj_ch, 1, padding=0)
+        self.fuse2 = _TorchEESP(2 * proj_ch, proj_ch)
+        self.classifier = nn.Conv2d(proj_ch, nclass, 1, bias=True)
+
+    def forward(self, x):  # eval: dropout identity
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        y = self.proj4(self.psp(c4))
+        y = _up(y, c3.shape[2:])
+        y = self.fuse3(torch.cat([y, self.proj3(c3)], dim=1))
+        y = _up(y, c2.shape[2:])
+        y = self.fuse2(torch.cat([y, self.proj2(c2)], dim=1))
+        return (_up(self.classifier(y), size),)
+
+
+class _TorchPointHead(nn.Module):
+    """flax models/pointrend.py::PointHead twin (fc{i}, predictor)."""
+
+    def __init__(self, fine_ch, nclass, channels=256, depth=3):
+        super().__init__()
+        self.depth = depth
+        cin = fine_ch + nclass
+        for i in range(depth):
+            setattr(self, f"fc{i}", nn.Linear(cin, channels))
+            cin = channels + nclass
+        self.predictor = nn.Linear(cin, nclass)
+
+    def forward(self, fine_pts, coarse_pts):  # (B, N, C) each
+        y = torch.cat([fine_pts, coarse_pts], dim=-1)
+        for i in range(self.depth):
+            y = F.relu(getattr(self, f"fc{i}")(y))
+            y = torch.cat([y, coarse_pts], dim=-1)
+        return self.predictor(y)
+
+
+def _torch_point_sample(feat, coords):
+    """ops/point_sample.py::point_sample oracle: F.grid_sample with
+    [0,1] coords mapped to [-1,1], align_corners=False, border pad."""
+    grid = coords * 2.0 - 1.0  # (B, N, 2), xy order == grid_sample's
+    out = F.grid_sample(feat, grid[:, None], mode="bilinear",
+                        padding_mode="border", align_corners=False)
+    return out[:, :, 0].permute(0, 2, 1)  # (B, N, C)
+
+
+class TorchPointRend(nn.Module):
+    """Whole-model PointRend twin (eval subdivision path) mirroring
+    models/pointrend.py scopes (head/c1_proj/classifier/point_head) over
+    the DeepLabV3_Plus-style coarse head."""
+
+    def __init__(self, backbone, c1_ch, c4_ch, nclass,
+                 subdivision_steps=2, subdivision_points=64):
+        super().__init__()
+        self.backbone = backbone
+        self.nclass = nclass
+        self.steps = subdivision_steps
+        self.npts = subdivision_points
+        self.head = TorchASPP(c4_ch, 256, (6, 12, 18), separable=True)
+        self.c1_proj = ConvBN(c1_ch, 48, 1, padding=0)
+        self.classifier = nn.Conv2d(256 + 48, nclass, 1, bias=True)
+        self.point_head = _TorchPointHead(c1_ch, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        y = _up(self.head(c4), c1.shape[2:])
+        coarse = self.classifier(torch.cat([y, self.c1_proj(c1)], dim=1))
+        b = x.shape[0]
+        logits = coarse
+        for _ in range(self.steps):
+            nh = min(logits.shape[2] * 2, size[0])
+            nw = min(logits.shape[3] * 2, size[1])
+            logits = _up(logits, (nh, nw))
+            npts = min(self.npts, nh * nw)
+            top2 = logits.topk(2, dim=1).values
+            unc = (top2[:, 1] - top2[:, 0]).reshape(b, -1)
+            _, idx = unc.topk(npts, dim=1)
+            ys = (idx // nw).float()
+            xs = (idx % nw).float()
+            coords = torch.stack([(xs + 0.5) / nw, (ys + 0.5) / nh], dim=-1)
+            refined = self.point_head(
+                _torch_point_sample(c1, coords),
+                _torch_point_sample(logits, coords),
+            )  # (B, N, C)
+            flat = logits.reshape(b, self.nclass, nh * nw)
+            flat = flat.scatter(
+                2, idx[:, None].expand(-1, self.nclass, -1),
+                refined.permute(0, 2, 1),
+            )
+            logits = flat.reshape(b, self.nclass, nh, nw)
+        return (_up(logits, size),)
+
+
+class TorchPyramidOCModule(nn.Module):
+    """flax models/ocnet.py::PyramidOCModule twin (attn{li}, proj):
+    zero-pad to a multiple of the level, attend within each cell,
+    re-assemble, crop, concat all levels + input."""
+
+    def __init__(self, cin, out_ch, levels=(1, 2, 3, 6)):
+        super().__init__()
+        self.levels = levels
+        self.out_ch = out_ch
+        for li in range(len(levels)):
+            setattr(self, f"attn{li}",
+                    TorchSelfAttentionBlock(cin, out_ch // 2, out_ch, out_ch))
+        self.proj = ConvBN(out_ch * len(levels) + cin, out_ch * 2, 1,
+                           padding=0)
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        outs = []
+        for li, level in enumerate(self.levels):
+            ph = -(-h // level) * level
+            pw = -(-w // level) * level
+            xp = F.pad(x, (0, pw - w, 0, ph - h))
+            bh, bw = ph // level, pw // level
+            cells = xp.reshape(n, c, level, bh, level, bw)
+            cells = cells.permute(0, 2, 4, 1, 3, 5).reshape(
+                n * level * level, c, bh, bw)
+            ctx = getattr(self, f"attn{li}")(cells)
+            ctx = ctx.reshape(n, level, level, self.out_ch, bh, bw)
+            ctx = ctx.permute(0, 3, 1, 4, 2, 5).reshape(
+                n, self.out_ch, ph, pw)[:, :, :h, :w]
+            outs.append(ctx)
+        return self.proj(torch.cat(outs + [x], dim=1))
+
+
+class TorchASPOCModule(nn.Module):
+    """flax models/ocnet.py::ASPOCModule twin (oc_conv/oc/b1..b4/proj)."""
+
+    def __init__(self, cin, out_ch, rates=(12, 24, 36)):
+        super().__init__()
+        self.n_rates = len(rates)
+        self.oc_conv = ConvBN(cin, out_ch, 3)
+        self.oc = TorchBaseOCModule(out_ch, out_ch)
+        self.b1 = ConvBN(cin, out_ch, 1, padding=0)
+        for i, r in enumerate(rates):
+            setattr(self, f"b{i + 2}", ConvBN(cin, out_ch, 3, dilation=r))
+        self.proj = ConvBN(out_ch * (2 + len(rates)), out_ch * 2, 1,
+                           padding=0)
+
+    def forward(self, x):
+        branches = [self.oc(self.oc_conv(x)), self.b1(x)]
+        for i in range(self.n_rates):
+            branches.append(getattr(self, f"b{i + 2}")(x))
+        return self.proj(torch.cat(branches, dim=1))
+
+
+class TorchOCNetVariant(nn.Module):
+    """Whole-model OCNet twin for the pyramid / asp OC_ARCH variants
+    (reduce/oc/classifier/auxlayer)."""
+
+    def __init__(self, backbone, c4_ch, nclass, oc_arch, aux=True,
+                 c3_ch=None):
+        super().__init__()
+        self.backbone = backbone
+        self.reduce = ConvBN(c4_ch, 512, 3)
+        if oc_arch == "pyramid":
+            self.oc = TorchPyramidOCModule(512, 512)
+            head_ch = 1024
+        elif oc_arch == "asp":
+            self.oc = TorchASPOCModule(512, 512)
+            head_ch = 1024
+        else:
+            raise ValueError(oc_arch)
+        self.classifier = nn.Conv2d(head_ch, nclass, 1, bias=True)
+        self.aux = aux
+        if aux:
+            self.auxlayer = TorchFCNHead(c3_ch, nclass)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        c1, c2, c3, c4 = self.backbone(x)
+        y = self.oc(self.reduce(c4))
+        outs = [F.interpolate(self.classifier(y), size=size, mode="bilinear",
+                              align_corners=True)]
+        if self.aux:
+            outs.append(F.interpolate(self.auxlayer(c3), size=size,
+                                      mode="bilinear", align_corners=True))
+        return tuple(outs)
