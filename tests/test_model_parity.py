@@ -738,3 +738,43 @@ def test_ocnet_variant_full_model_parity(fresh_cfg, arch):
         want = tm(_nchw(x))
     _assert_close(got[0], want[0], 1e-3, "main logits")
     _assert_close(got[1], want[1], 1e-3, "aux logits")
+
+
+def test_deeplabv3plus_mobilenet_full_model_parity(fresh_cfg):
+    """The second DeepLabV3_Plus CASES combination: MobileNetV2 backbone
+    (c1 = 24ch low-level tap) through the REAL convert_mobilenet_state
+    import path + the same ASPP/decoder head."""
+    from segmentron_tpu.models.deeplabv3_plus import DeepLabV3Plus
+    from segmentron_tpu.modules.batch_norm import NormConfig
+
+    fresh_cfg.MODEL.OUTPUT_STRIDE = 16
+    nclass = 4
+    tbb = tr.TorchMobileNetV2(output_stride=16)
+    tm = tr.randomize(
+        tr.TorchDeepLabV3Plus(tbb, nclass, output_stride=16, c1_ch=24,
+                              c4_ch=320),
+        seed=27,
+    )
+    state = _state(tm)
+    bb_state = {k[len("backbone."):]: v for k, v in state.items()
+                if k.startswith("backbone.")}
+    head_state = {k: v for k, v in state.items()
+                  if not k.startswith("backbone.")}
+    bb_tree = convert_mobilenet_state(bb_state)
+    head_tree = generic(head_state)
+    variables = {
+        "params": {"backbone": bb_tree["params"], **head_tree["params"]},
+        "batch_stats": {"backbone": bb_tree["batch_stats"],
+                        **head_tree["batch_stats"]},
+    }
+    model = DeepLabV3Plus(
+        nclass=nclass, backbone="mobilenet_v2", aux=False,
+        encoder_norm=NormConfig(), decoder_norm=NormConfig(),
+        use_aspp=True, enable_decoder=True, aspp_sep=True, decoder_sep=True,
+        output_stride=16,
+    )
+    x = np.random.RandomState(16).randn(1, 64, 64, 3).astype(np.float32)
+    got = model.apply(variables, x, False)
+    with torch.no_grad():
+        want = tm(_nchw(x))
+    _assert_close(got[0], want[0], 1e-3, "main logits")
