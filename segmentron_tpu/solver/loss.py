@@ -243,13 +243,18 @@ def encnet_loss(
 
 def _boundary_from_mask(target, ignore_clean: bool = True):
     """Binary boundary map from an int mask: a pixel is boundary iff any
-    4-neighbour has a different (valid) class."""
-    t = target
-    diff = jnp.zeros(t.shape, bool)
-    for axis, shift in ((1, 1), (1, -1), (2, 1), (2, -1)):
-        n = jnp.roll(t, shift, axis=axis)
-        d = (n != t) & (n >= 0) & (t >= 0)
-        diff = diff | d
+    4-neighbour has a different (valid) class.
+
+    Neighbours are edge-clamped (NOT wrapped): an image-border pixel
+    compares against itself on the outside, so borders are only
+    boundaries where real class changes occur. Static pad+slice — no
+    gathers, XLA fuses the four compares."""
+    b, h, w = target.shape
+    tp = jnp.pad(target, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    diff = jnp.zeros(target.shape, bool)
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        n = jax.lax.dynamic_slice(tp, (0, 1 + dy, 1 + dx), (b, h, w))
+        diff = diff | ((n != target) & (n >= 0) & (target >= 0))
     return diff.astype(jnp.float32)
 
 

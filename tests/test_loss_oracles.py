@@ -176,3 +176,148 @@ def test_encnet_se_presence_matches_histogram(rng):
 
     got = float(encnet_se_loss(jnp.asarray(se_pred), jnp.asarray(target), c))
     assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+# ---------------------- round-5 oracles: the remaining loss family
+def _ce_torch(logits, target):
+    lt = torch.from_numpy(
+        np.ascontiguousarray(logits.reshape(-1, logits.shape[-1])))
+    tt = torch.from_numpy(np.ascontiguousarray(target.reshape(-1))).long()
+    return float(F.cross_entropy(lt, tt, ignore_index=-1, reduction="mean"))
+
+
+def test_mix_softmax_ce_matches_torch(rng):
+    """Plain CE (the workhorse): lane-iota _select_class vs
+    F.cross_entropy with ignore_index, plus the 0.4 aux weighting."""
+    from segmentron_tpu.solver.loss import mix_softmax_ce_loss
+
+    main = rng.randn(2, 11, 13, 6).astype(np.float32)
+    aux = rng.randn(2, 11, 13, 6).astype(np.float32)
+    target = rng.randint(-1, 6, size=(2, 11, 13))
+    got = float(mix_softmax_ce_loss(
+        (jnp.asarray(main), jnp.asarray(aux)), jnp.asarray(target)))
+    want = _ce_torch(main, target) + 0.4 * _ce_torch(aux, target)
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_dice_matches_oracle(rng):
+    """Soft multi-class dice with ignore masking, vs an independent
+    numpy implementation."""
+    from segmentron_tpu.solver.loss import dice_loss
+
+    c = 5
+    logits = rng.randn(2, 9, 9, c).astype(np.float32)
+    target = rng.randint(-1, c, size=(2, 9, 9))
+    got = float(dice_loss((jnp.asarray(logits),), jnp.asarray(target)))
+
+    lf = logits.reshape(-1, c).astype(np.float64)
+    tf = target.reshape(-1)
+    valid = (tf >= 0)[:, None]
+    probs = np.exp(lf - lf.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    probs = probs * valid
+    onehot = np.eye(c)[np.where(tf >= 0, tf, 0)] * valid
+    inter = (probs * onehot).sum(0)
+    denom = (probs + onehot).sum(0)
+    want = float(1.0 - np.mean((2 * inter + 1.0) / (denom + 1.0)))
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_icnet_loss_matches_torch_nearest_downsample(rng):
+    """ICNet cascade guidance: targets nearest-downsampled to each
+    branch resolution must match F.interpolate(mode='nearest') +
+    F.cross_entropy at every scale."""
+    from segmentron_tpu.solver.loss import icnet_loss
+
+    c, th, tw = 4, 24, 32
+    target = rng.randint(-1, c, size=(2, th, tw))
+    outs = [rng.randn(2, th, tw, c).astype(np.float32),
+            rng.randn(2, th // 2, tw // 2, c).astype(np.float32),
+            rng.randn(2, th // 4, tw // 4, c).astype(np.float32)]
+    got = float(icnet_loss(tuple(jnp.asarray(o) for o in outs),
+                           jnp.asarray(target)))
+
+    want = 0.0
+    tt = torch.from_numpy(target)[:, None].float()
+    for w_, o in zip((1.0, 0.4, 0.16), outs):
+        h, w = o.shape[1:3]
+        tgt = F.interpolate(tt, size=(h, w), mode="nearest")[:, 0]
+        want += w_ * _ce_torch(o, tgt.numpy().astype(np.int64))
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
+
+
+def test_boundary_from_mask_no_wraparound(rng):
+    """The on-device boundary derivation: 4-neighbour class changes,
+    edge-CLAMPED (a uniform mask has zero boundary even though its
+    opposite edges differ from each other only under wraparound)."""
+    from segmentron_tpu.solver.loss import _boundary_from_mask
+
+    # two half-planes: boundary only along the dividing line
+    t = np.zeros((1, 8, 10), np.int32)
+    t[:, :, 5:] = 1
+    b = np.asarray(_boundary_from_mask(jnp.asarray(t)))
+    want = np.zeros_like(b)
+    want[:, :, 4:6] = 1.0
+    np.testing.assert_array_equal(b, want)
+
+    # wraparound regression: left edge 0s vs right edge 1s must NOT be
+    # boundary; with jnp.roll they were.
+    assert b[:, :, 0].sum() == 0 and b[:, :, -1].sum() == 0
+
+    # ignore pixels are never boundary and never induce one
+    t2 = np.zeros((1, 6, 6), np.int32)
+    t2[:, 3:] = -1
+    b2 = np.asarray(_boundary_from_mask(jnp.asarray(t2)))
+    assert b2.sum() == 0
+
+
+def test_translab_loss_matches_oracle(rng):
+    """TransLab composite: seg CE + 5 * (masked BCE + soft dice) on the
+    boundary stream, boundary target derived from the mask."""
+    from segmentron_tpu.solver.loss import translab_loss
+
+    c, h, w = 3, 12, 12
+    seg = rng.randn(1, h, w, c).astype(np.float32)
+    bl = rng.randn(1, h, w, 1).astype(np.float32)
+    target = rng.randint(0, c, size=(1, h, w))
+    target[0, :2, :2] = -1
+    got = float(translab_loss((jnp.asarray(seg), jnp.asarray(bl)),
+                              jnp.asarray(target)))
+
+    # independent numpy boundary (edge-clamped 4-neighbour)
+    tp = np.pad(target, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    bt = np.zeros((1, h, w), bool)
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        n = tp[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        bt |= (n != target) & (n >= 0) & (target >= 0)
+    bt = bt.astype(np.float64)
+    blf = bl[..., 0].astype(np.float64)
+    valid = (target >= 0).astype(np.float64)
+    p = 1 / (1 + np.exp(-blf))
+    bce = -(bt * np.log(p) + (1 - bt) * np.log1p(-p)) * valid
+    bce = bce.sum() / max(valid.sum(), 1)
+    pm = p * valid
+    dice = 1.0 - (2 * (pm * bt).sum() + 1.0) / (pm.sum() + bt.sum() + 1.0)
+    want = _ce_torch(seg, target) + 5.0 * (bce + dice)
+    assert np.isclose(got, want, rtol=1e-4), (got, want)
+
+
+def test_pointrend_loss_matches_oracle(rng):
+    """PointRend: coarse CE + point CE where point targets are the
+    nearest GT labels under the floor(coord * size) convention."""
+    from segmentron_tpu.solver.loss import pointrend_loss
+
+    c, h, w, npts = 4, 16, 16, 37
+    main = rng.randn(2, h, w, c).astype(np.float32)
+    target = rng.randint(-1, c, size=(2, h, w))
+    coords = rng.rand(2, npts, 2).astype(np.float32)
+    pt_logits = rng.randn(2, npts, c).astype(np.float32)
+    got = float(pointrend_loss(
+        (jnp.asarray(main), jnp.asarray(pt_logits), jnp.asarray(coords)),
+        jnp.asarray(target)))
+
+    ys = np.clip((coords[..., 1] * h).astype(np.int64), 0, h - 1)
+    xs = np.clip((coords[..., 0] * w).astype(np.int64), 0, w - 1)
+    pt_t = np.take_along_axis(target.reshape(2, -1), ys * w + xs, axis=1)
+    want = _ce_torch(main, target) + _ce_torch(pt_logits, pt_t)
+    assert np.isclose(got, want, rtol=1e-5), (got, want)
