@@ -81,6 +81,18 @@ class Evaluator:
                 ph, pw = side - img.shape[1], side - img.shape[2]
                 if ph or pw:
                     img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                    if img.dtype == np.uint8:
+                        # raw-u8 loader mode: observe() normalizes
+                        # in-graph, so u8-zero pad would become
+                        # ~(-mean/std) ≈ -2 — a border value the eval
+                        # graphs never produce (they pad AFTER
+                        # normalize, at 0). Pad at the mean pixel so
+                        # the apron normalizes to ~0 like eval.
+                        mean_px = np.round(
+                            np.asarray(cfg.DATASET.MEAN) * 255.0
+                        ).astype(np.uint8)
+                        img[:, side - ph :, :, :] = mean_px
+                        img[:, :, side - pw :, :] = mean_px
                 return img
 
             batches = (

@@ -150,16 +150,23 @@ class LoadedModel:
         process compiles it anyway; reusing it for calls avoids
         re-tracing ``Exported.call`` per invocation)."""
         if self._jitted is None:
+            if self.meta.get("input_shape"):
+                img_aval = jax.ShapeDtypeStruct(
+                    tuple(self.meta["input_shape"]),
+                    np.dtype(self.meta.get("input_dtype",
+                                           self.meta.get("dtype", "float32"))),
+                )
+            else:
+                # artifact without meta.json: the image is the last
+                # flat input aval of the Exported itself
+                a = self._exported.in_avals[-1]
+                img_aval = jax.ShapeDtypeStruct(a.shape, a.dtype)
             self._jitted = jax.jit(self._exported.call).lower(
                 jax.tree.map(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                     self.variables,
                 ),
-                jax.ShapeDtypeStruct(
-                    tuple(self.meta.get("input_shape")),
-                    np.dtype(self.meta.get("input_dtype",
-                                           self.meta.get("dtype", "float32"))),
-                ),
+                img_aval,
             ).compile()
         return self._jitted
 

@@ -36,12 +36,16 @@ def maybe_initialize_distributed() -> bool:
     import jax
 
     kwargs = {}
-    if os.environ.get("JAX_NUM_PROCESSES"):
+    if os.environ.get("JAX_NUM_PROCESSES") and os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
         kwargs = dict(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
         )
+    # megascale-only environments (no JAX_COORDINATOR_ADDRESS) fall
+    # through to the bare call and let jax read its own cluster env
     jax.distributed.initialize(**kwargs)
     return True
 

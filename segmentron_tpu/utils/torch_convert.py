@@ -607,12 +607,29 @@ def load_backbone_pretrained(variables, backbone: str, path: str):
             logger.warning("No torch->jax converter for backbone %r yet", backbone)
             return variables
 
-    def merge(dst, src):
+    def merge(dst, src, prefix=""):
         out = dict(dst)
         for k, v in src.items():
+            path = f"{prefix}/{k}"
             if k in out and isinstance(out[k], dict) and isinstance(v, dict):
-                out[k] = merge(out[k], v)
+                out[k] = merge(out[k], v, path)
             else:
+                # loud failure on layout drift: a converted leaf must
+                # match the shape the model initialized at this path
+                old = out.get(k)
+                if old is not None and hasattr(old, "shape") and hasattr(v, "shape"):
+                    if tuple(old.shape) != tuple(v.shape):
+                        raise ValueError(
+                            f"pretrained leaf {path} has shape "
+                            f"{tuple(v.shape)} but the model expects "
+                            f"{tuple(old.shape)} — wrong checkpoint or "
+                            f"converter layout drift"
+                        )
+                elif k not in out:
+                    logger.warning(
+                        "pretrained leaf %s not declared by the model; "
+                        "inserting anyway (flax ignores extras)", path
+                    )
                 out[k] = v
         return out
 

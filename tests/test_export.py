@@ -68,3 +68,29 @@ def test_export_uint8_entry_roundtrip(fresh_cfg, tmp_path):
     x_dev = loaded.prepare(raw)
     got2 = np.asarray(loaded.serve(x_dev))
     np.testing.assert_array_equal(got2, got)
+
+def test_export_serve_without_meta(fresh_cfg, tmp_path):
+    """An artifact directory with no meta.json (hand-assembled or old
+    exporter) must still support the layout-cooperative serve path:
+    the image aval falls back to the Exported's own input signature."""
+    import os
+
+    from segmentron_tpu.engine.export import export_model, load_exported
+    from segmentron_tpu.models import get_segmentation_model
+
+    fresh_cfg.MODEL.MODEL_NAME = "FCN"
+    fresh_cfg.MODEL.BACKBONE = "resnet18"
+    fresh_cfg.DATASET.NAME = "synthetic"
+    fresh_cfg.SOLVER.AUX = False
+    fresh_cfg.TRAIN.SYNC_BATCH_NORM = False
+    model = get_segmentation_model()
+    x = np.random.RandomState(2).randn(1, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    out_dir = export_model(model, variables, (1, 64, 64, 3), str(tmp_path / "art"))
+    os.remove(os.path.join(out_dir, "meta.json"))
+    loaded = load_exported(out_dir)
+    assert loaded.meta == {}
+    want = np.asarray(loaded(x))
+    got = np.asarray(loaded.serve(loaded.prepare(x)))
+    np.testing.assert_array_equal(got, want)

@@ -111,3 +111,31 @@ def test_resolve_pretrained_accepts_npz_cache(tmp_path, monkeypatch):
     p = tmp_path / "resnet50.npz"
     save_flax_npz({"params": {"x": np.zeros(1)}}, str(p))
     assert resolve_pretrained("resnet50") == str(p)
+
+
+def test_load_backbone_pretrained_rejects_shape_drift(fresh_cfg, tmp_path):
+    """A converted leaf whose shape disagrees with the model's
+    initialized leaf must fail LOUDLY at load time (wrong checkpoint /
+    converter layout drift), not surface later as an apply-time
+    broadcast error."""
+    import jax
+    from segmentron_tpu.models import get_segmentation_model
+    from segmentron_tpu.utils.torch_convert import load_backbone_pretrained
+
+    fresh_cfg.MODEL.MODEL_NAME = "FCN"
+    fresh_cfg.MODEL.BACKBONE = "resnet18"
+    fresh_cfg.DATASET.NAME = "synthetic"
+    fresh_cfg.TRAIN.SYNC_BATCH_NORM = False
+    tm = tr.randomize(tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2)), seed=3)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = convert_backbone_state("resnet18", state)
+    # corrupt one leaf's shape as a transposed-layout stand-in
+    k = tree["params"]["conv1"]["kernel"]
+    tree["params"]["conv1"]["kernel"] = k.transpose(3, 0, 1, 2)
+    p = str(tmp_path / "resnet18_bad.npz")
+    save_flax_npz(tree, p)
+
+    model = get_segmentation_model()
+    v = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    with pytest.raises(ValueError, match="conv1/kernel"):
+        load_backbone_pretrained(v, "resnet18", p)
