@@ -41,7 +41,14 @@ class SegmentationDataset:
         base_size: Optional[int] = None,
         crop_size: Optional[int] = None,
     ):
-        self.root = root
+        # relative dataset roots resolve against cfg.ROOT_PATH (reference:
+        # seg_data_base.py joins cfg.ROOT_PATH onto each dataset's default
+        # root); absolute roots and empty ROOT_PATH keep the path as-is
+        self.root = (
+            os.path.join(cfg.ROOT_PATH, root)
+            if root and cfg.ROOT_PATH and not os.path.isabs(root)
+            else root
+        )
         self.split = split
         self.mode = mode if mode is not None else split
         self.base_size = base_size if base_size is not None else cfg.TRAIN.BASE_SIZE

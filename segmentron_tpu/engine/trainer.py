@@ -304,7 +304,10 @@ class Trainer:
                     f"batch={cfg.TRAIN.BATCH_SIZE})"
                 )
             final_loss = float(jax.device_get(loss))
-            if (epoch + 1) % cfg.TRAIN.SNAPSHOT_EPOCH == 0:
+            # SNAPSHOT_EPOCH <= 0 disables periodic snapshots entirely
+            if cfg.TRAIN.SNAPSHOT_EPOCH > 0 and (
+                epoch + 1
+            ) % cfg.TRAIN.SNAPSHOT_EPOCH == 0:
                 self.ckpt.save(
                     int(jax.device_get(self.state.step)),
                     jax.device_get(self.state),
