@@ -196,3 +196,21 @@ def test_demo_writes_palette_png_for_real_photo(fresh_cfg, tmp_path):
     assert out.is_file()
     mask = Image.open(out)
     assert mask.size == (128, 152)
+
+
+def test_device_normalize_real_pixels_matches_host():
+    """In-graph uint8 normalize == host float math on REAL pixel
+    statistics (the test_device_input contract, re-pinned on a real
+    photograph rather than uniform noise)."""
+    import jax
+
+    from segmentron_tpu.ops.preprocess import normalize_u8
+
+    mean = [0.485, 0.456, 0.406]
+    std = [0.229, 0.224, 0.225]
+    arr = np.asarray(Image.open(PHOTO).convert("RGB"))[:256, :256]
+    host = (
+        arr.astype(np.float32) / 255.0 - np.asarray(mean, np.float32)
+    ) / np.asarray(std, np.float32)
+    dev = np.asarray(jax.jit(lambda x: normalize_u8(x, mean, std))(arr))
+    assert float(np.abs(dev - host).max()) <= 6e-7  # <= 2 ulp
