@@ -229,8 +229,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self) -> float:
-        log_iters = getattr(self.args, "log_iter", 10) if self.args else 10
-        val_epoch = getattr(self.args, "val_epoch", 1) if self.args else 1
+        # clamp to >=1: a 0 from the CLI must not ZeroDivisionError the loop
+        log_iters = max(1, getattr(self.args, "log_iter", 10) if self.args else 10)
+        val_epoch = max(1, getattr(self.args, "val_epoch", 1) if self.args else 1)
         skip_val = getattr(self.args, "skip_val", False) if self.args else False
         epochs = cfg.TRAIN.EPOCHS
         if cfg.UTILS.EPOCH_STOP > 0:

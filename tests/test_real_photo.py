@@ -24,34 +24,14 @@ import sys
 
 import numpy as np
 import pytest
-from PIL import Image, ImageFilter
+from PIL import Image
 
+from segmentron_tpu.data.sample_photo import build_mini_voc, sample_photo_path
 
-def _photo_path():
-    try:
-        import matplotlib
-    except ImportError:  # pragma: no cover
-        return None
-    p = os.path.join(matplotlib.get_data_path(), "sample_data", "grace_hopper.jpg")
-    return p if os.path.isfile(p) else None
-
-
-PHOTO = _photo_path()
+PHOTO = sample_photo_path()
 pytestmark = pytest.mark.skipif(
     PHOTO is None, reason="matplotlib sample photo unavailable"
 )
-
-N_BINS = 4  # luminance-quartile pseudo-classes, VOC ids 0..3
-
-
-def _pseudo_mask(img: Image.Image) -> np.ndarray:
-    """Quartile bins of blurred luminance: blobby, balanced, and a local
-    function of the pixels — learnable by a small FCN in a few steps."""
-    lum = np.asarray(
-        img.convert("L").filter(ImageFilter.GaussianBlur(4)), np.float32
-    )
-    qs = np.quantile(lum, [0.25, 0.5, 0.75])
-    return np.digitize(lum, qs).astype(np.uint8)  # 0..3
 
 
 @pytest.fixture(scope="module")
@@ -59,30 +39,7 @@ def voc_tree(tmp_path_factory):
     """Mini Pascal-VOC layout under <root>/datasets/voc/VOC2012 built
     from real-photo crops: 16 train + 4 val images, 160x160, JPEG q95."""
     root = tmp_path_factory.mktemp("real_photo_root")
-    base = root / "datasets" / "voc" / "VOC2012"
-    jdir = base / "JPEGImages"
-    mdir = base / "SegmentationClass"
-    sdir = base / "ImageSets" / "Segmentation"
-    for d in (jdir, mdir, sdir):
-        d.mkdir(parents=True)
-
-    photo = Image.open(PHOTO).convert("RGB")
-    w, h = photo.size
-    rng = np.random.RandomState(7)
-    names = {"train": [], "val": []}
-    for split, count in (("train", 16), ("val", 4)):
-        for i in range(count):
-            x0 = int(rng.randint(0, w - 160))
-            y0 = int(rng.randint(0, h - 160))
-            crop = photo.crop((x0, y0, x0 + 160, y0 + 160))
-            name = f"{split}_{i:02d}"
-            crop.save(jdir / f"{name}.jpg", quality=95)
-            # mask from the pixels as SAVED (post-JPEG), like real data
-            saved = Image.open(jdir / f"{name}.jpg").convert("RGB")
-            Image.fromarray(_pseudo_mask(saved), "L").save(mdir / f"{name}.png")
-            names[split].append(name)
-    (sdir / "train.txt").write_text("\n".join(names["train"]) + "\n")
-    (sdir / "val.txt").write_text("\n".join(names["val"]) + "\n")
+    build_mini_voc(str(root), train=16, val=4, size=160, seed=7)
     return root
 
 
