@@ -36,16 +36,23 @@ def maybe_initialize_distributed() -> bool:
     import jax
 
     kwargs = {}
-    if os.environ.get("JAX_NUM_PROCESSES") and os.environ.get(
-        "JAX_COORDINATOR_ADDRESS"
-    ):
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            # explicit manual topology without a coordinator must fail
+            # fast — the bare call would silently auto-detect a
+            # DIFFERENT topology than the operator asked for
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_COORDINATOR_ADDRESS "
+                "is not — set both for a manual multi-process launch "
+                "(or neither, to let jax read the platform cluster env)"
+            )
         kwargs = dict(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
         )
-    # megascale-only environments (no JAX_COORDINATOR_ADDRESS) fall
-    # through to the bare call and let jax read its own cluster env
+    # megascale-only environments (no JAX_NUM_PROCESSES) fall through
+    # to the bare call and let jax read its own cluster env
     jax.distributed.initialize(**kwargs)
     return True
 

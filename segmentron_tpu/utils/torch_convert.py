@@ -617,6 +617,17 @@ def load_backbone_pretrained(variables, backbone: str, path: str):
                 # loud failure on layout drift: a converted leaf must
                 # match the shape the model initialized at this path
                 old = out.get(k)
+                if k in out and isinstance(old, dict) != isinstance(v, dict):
+                    # structural drift (subtree where the model has a
+                    # leaf, or vice versa) is the same converter-drift
+                    # class — fail here, not at flax apply time
+                    raise ValueError(
+                        f"pretrained entry {path} is a "
+                        f"{'subtree' if isinstance(v, dict) else 'leaf'} "
+                        f"but the model declares a "
+                        f"{'subtree' if isinstance(old, dict) else 'leaf'}"
+                        " — wrong checkpoint or converter layout drift"
+                    )
                 if old is not None and hasattr(old, "shape") and hasattr(v, "shape"):
                     if tuple(old.shape) != tuple(v.shape):
                         raise ValueError(

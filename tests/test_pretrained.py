@@ -139,3 +139,28 @@ def test_load_backbone_pretrained_rejects_shape_drift(fresh_cfg, tmp_path):
     v = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
     with pytest.raises(ValueError, match="conv1/kernel"):
         load_backbone_pretrained(v, "resnet18", p)
+
+
+def test_load_backbone_pretrained_rejects_structural_drift(fresh_cfg, tmp_path):
+    """A converted tree that puts a LEAF where the model declares a
+    SUBTREE (or vice versa) must also fail loudly at load time."""
+    import jax
+    from segmentron_tpu.models import get_segmentation_model
+    from segmentron_tpu.utils.torch_convert import load_backbone_pretrained
+
+    fresh_cfg.MODEL.MODEL_NAME = "FCN"
+    fresh_cfg.MODEL.BACKBONE = "resnet18"
+    fresh_cfg.DATASET.NAME = "synthetic"
+    fresh_cfg.TRAIN.SYNC_BATCH_NORM = False
+    tm = tr.randomize(tr.TorchResNet(tr.TorchBasicBlock, (2, 2, 2, 2)), seed=4)
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = convert_backbone_state("resnet18", state)
+    # flatten conv1 (a subtree in the model) down to a bare leaf
+    tree["params"]["conv1"] = tree["params"]["conv1"]["kernel"]
+    p = str(tmp_path / "resnet18_structural.npz")
+    save_flax_npz(tree, p)
+
+    model = get_segmentation_model()
+    v = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    with pytest.raises(ValueError, match="conv1"):
+        load_backbone_pretrained(v, "resnet18", p)

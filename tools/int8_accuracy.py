@@ -148,7 +148,9 @@ def main():
     )
     if not REAL_PHOTO:
         cal_ds.length, cal_ds.image_size = 8, (96, 96)
-    cal_batches = [np.asarray(cal_ds[i][0])[None] for i in range(8)]
+    cal_batches = [
+        np.asarray(cal_ds[i][0])[None] for i in range(min(8, len(cal_ds)))
+    ]
     calibrated = calibrate_int8_amax(
         trainer.model, dict(variables), cal_batches
     )
