@@ -28,6 +28,18 @@ def maybe_initialize_distributed() -> bool:
 
     Exercised end to end (2 processes x 4 CPU devices on localhost) by
     ``tests/test_multihost.py``."""
+    if os.environ.get("JAX_NUM_PROCESSES") and not os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        # explicit manual topology without a coordinator must fail fast
+        # — silently skipping rendezvous (or letting jax auto-detect a
+        # DIFFERENT topology) would run a single-process job where the
+        # operator asked for N
+        raise RuntimeError(
+            "JAX_NUM_PROCESSES is set but JAX_COORDINATOR_ADDRESS "
+            "is not — set both for a manual multi-process launch "
+            "(or neither, to let jax read the platform cluster env)"
+        )
     if not (
         os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
@@ -37,15 +49,6 @@ def maybe_initialize_distributed() -> bool:
 
     kwargs = {}
     if os.environ.get("JAX_NUM_PROCESSES"):
-        if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            # explicit manual topology without a coordinator must fail
-            # fast — the bare call would silently auto-detect a
-            # DIFFERENT topology than the operator asked for
-            raise RuntimeError(
-                "JAX_NUM_PROCESSES is set but JAX_COORDINATOR_ADDRESS "
-                "is not — set both for a manual multi-process launch "
-                "(or neither, to let jax read the platform cluster env)"
-            )
         kwargs = dict(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

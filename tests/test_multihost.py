@@ -105,3 +105,21 @@ def test_two_process_jax_distributed_matches_single_process(tmp_path):
     # integer confusion matrix: bit-exact across process topologies
     np.testing.assert_array_equal(np.asarray(got["cm"]), want_cm)
     np.testing.assert_allclose(got["losses"], want_losses, rtol=2e-5)
+
+
+def test_manual_topology_without_coordinator_fails_fast(monkeypatch):
+    """JAX_NUM_PROCESSES without JAX_COORDINATOR_ADDRESS must raise, not
+    silently run single-process (the operator asked for N processes)."""
+    from segmentron_tpu.utils.default_setup import (
+        maybe_initialize_distributed,
+    )
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    with pytest.raises(RuntimeError, match="JAX_COORDINATOR_ADDRESS"):
+        maybe_initialize_distributed()
+
+    # and with no distributed env at all it is a clean no-op
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert maybe_initialize_distributed() is False
