@@ -92,3 +92,38 @@ def test_fused_stem_off_spellings(fresh_cfg):
         assert fresh_cfg.TPU.FUSED_STEM is False, off
     fresh_cfg.update_from_list(["TPU.FUSED_STEM", "stem"])
     assert fresh_cfg.TPU.FUSED_STEM == "stem"
+
+
+_CONFIG_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__))), "configs")
+_ALL_YAMLS = sorted(
+    f for f in __import__("os").listdir(_CONFIG_DIR) if f.endswith(".yaml")
+)
+
+
+@pytest.mark.parametrize("name", _ALL_YAMLS)
+def test_every_shipped_config_loads_and_resolves(fresh_cfg, name):
+    """Every YAML in configs/ must merge cleanly against the defaults
+    tree (unknown keys / wrong types raise in update_from_file) and its
+    model/backbone/dataset names must resolve against the registries —
+    a typo'd key or an unregistered name in a shipped config would
+    otherwise only surface when a user runs that exact config."""
+    import os
+
+    from segmentron_tpu.data.dataloader import datasets
+    from segmentron_tpu.models.backbones import BACKBONE_REGISTRY
+    from segmentron_tpu.models.model_zoo import MODEL_REGISTRY
+
+    fresh_cfg.update_from_file(os.path.join(_CONFIG_DIR, name))
+    assert fresh_cfg.MODEL.MODEL_NAME in MODEL_REGISTRY, (
+        f"{name}: model {fresh_cfg.MODEL.MODEL_NAME!r} not registered"
+    )
+    if fresh_cfg.MODEL.BACKBONE:
+        assert fresh_cfg.MODEL.BACKBONE in BACKBONE_REGISTRY, (
+            f"{name}: backbone {fresh_cfg.MODEL.BACKBONE!r} not registered"
+        )
+    ds = fresh_cfg.DATASET.NAME.lower()
+    if ds == "coco" and "coco" not in datasets:
+        pytest.skip("coco loader unavailable in this environment")
+    assert ds in datasets, f"{name}: dataset {ds!r} not registered"
