@@ -168,6 +168,13 @@ class LoadedModel:
                 ),
                 img_aval,
             ).compile()
+            # commit the weights to the device ONCE, each leaf in the
+            # executable's preferred layout — otherwise every serve()
+            # call re-transfers the whole host-numpy parameter set
+            args_formats, _ = self._jitted.input_formats
+            self.variables = jax.tree.map(
+                jax.device_put, self.variables, args_formats[0]
+            )
         return self._jitted
 
     def input_format(self):

@@ -3,6 +3,7 @@ plus variables, reload WITHOUT the model object, and match the live
 model's logits exactly."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -94,3 +95,36 @@ def test_export_serve_without_meta(fresh_cfg, tmp_path):
     want = np.asarray(loaded(x))
     got = np.asarray(loaded.serve(loaded.prepare(x)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_serve_commits_weights_on_device(fresh_cfg, tmp_path):
+    """serve() must not re-transfer the host-numpy weight tree on every
+    call: the first compile commits each leaf to the device in the
+    executable's preferred layout."""
+    import jax
+
+    from segmentron_tpu.engine.export import export_model, load_exported
+    from segmentron_tpu.models import get_segmentation_model
+
+    fresh_cfg.MODEL.MODEL_NAME = "FCN"
+    fresh_cfg.MODEL.BACKBONE = "resnet18"
+    fresh_cfg.DATASET.NAME = "synthetic"
+    model = get_segmentation_model()
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = jax.device_get(variables)  # host numpy, like load_exported
+    out_dir = export_model(model, variables, x.shape, str(tmp_path / "m"))
+
+    loaded = load_exported(out_dir)
+    assert all(
+        isinstance(leaf, np.ndarray)
+        for leaf in jax.tree_util.tree_leaves(loaded.variables)
+    )
+    first = np.asarray(loaded.serve(loaded.prepare(x)))
+    # weights are now device arrays (committed once, preferred layout)
+    assert all(
+        isinstance(leaf, jax.Array)
+        for leaf in jax.tree_util.tree_leaves(loaded.variables)
+    )
+    second = np.asarray(loaded.serve(loaded.prepare(x)))
+    np.testing.assert_array_equal(first, second)
